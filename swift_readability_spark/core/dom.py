@@ -1,0 +1,687 @@
+"""Lightweight mutable DOM + HTML5-ish tree builder + serializer.
+
+Design notes
+------------
+The reference engine (swift-readability) delegates parsing to SwiftSoup
+(``/root/reference/Sources/SwiftReadability/Readability.swift:331-335``).
+We build our own minimal DOM on top of :mod:`html.parser` because the
+extraction heuristics only need: a mutable element tree, attributes,
+text content, and pre-order traversal.  A small HTML5-flavoured state
+machine supplies the structural normalizations the heuristics rely on
+(implied <html>/<head>/<body>, auto-closing <p>/<li>/<tr>/<td>,
+implicit <tbody>, void elements).
+
+This module is pure Python and allocation-light: it is the hot path of
+the Arrow-batch extraction UDF, so nodes use ``__slots__`` and tag
+names are interned lowercase strings (the analogue of the reference's
+interned UTF-8 arrays, ``ReadabilityUTF8Arrays.swift:3-128``).
+"""
+
+from __future__ import annotations
+
+import re
+from html import escape
+from html.parser import HTMLParser
+
+# --- whitespace semantics matching JS (String.prototype.trim / regex \s) ---
+# JS \s includes NBSP and BOM; Python's str.strip()/\s differ slightly.
+JS_WHITESPACE = (
+    "\t\n\x0b\x0c\r \u00a0\u1680"
+    "\u2000\u2001\u2002\u2003\u2004\u2005\u2006\u2007\u2008\u2009\u200a"
+    "\u2028\u2029\u202f\u205f\u3000\ufeff"
+)
+_WS_CLASS = "[\\t\\n\\x0b\\x0c\\r \u00a0\u1680\u2000-\u200a\u2028\u2029\u202f\u205f\u3000\ufeff]"
+RE_WS_RUN = re.compile(_WS_CLASS + "{2,}")
+RE_ALL_WS = re.compile("^" + _WS_CLASS + "*$")
+RE_NON_WS_END = re.compile("[^" + JS_WHITESPACE + "]$")
+
+
+def js_trim(s: str) -> str:
+    return s.strip(JS_WHITESPACE)
+
+
+def normalize_spaces(s: str) -> str:
+    """trim + collapse runs of >=2 whitespace chars to one space."""
+    return RE_WS_RUN.sub(" ", js_trim(s))
+
+
+VOID_ELEMENTS = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
+
+# Start tags that implicitly close an open <p> (HTML5 "in body" rules).
+P_CLOSERS = frozenset(
+    (
+        "address article aside blockquote details dir div dl fieldset "
+        "figcaption figure footer form h1 h2 h3 h4 h5 h6 header hgroup hr "
+        "listing main menu nav ol p plaintext pre section summary table ul "
+        "xmp center"
+    ).split()
+)
+# Elements that bound the upward search for an auto-closable <p>
+# (approximation of HTML5 "button scope").
+P_SCOPE_BOUNDARY = frozenset(
+    "html body table td th caption applet object template marquee button".split()
+)
+HEADINGS = frozenset(("h1", "h2", "h3", "h4", "h5", "h6"))
+HEAD_ONLY_TAGS = frozenset("title base link meta style script noscript template".split())
+TABLE_SECTIONS = frozenset(("tbody", "thead", "tfoot"))
+
+
+class Node:
+    __slots__ = ("parent",)
+
+    parent: "Element | None"
+
+    # -- generic tree ops -------------------------------------------------
+    def remove(self) -> None:
+        p = self.parent
+        if p is not None:
+            p.children.remove(self)
+            self.parent = None
+
+    @property
+    def next_sibling(self) -> "Node | None":
+        p = self.parent
+        if p is None:
+            return None
+        sibs = p.children
+        try:
+            i = sibs.index(self)
+        except ValueError:
+            return None
+        return sibs[i + 1] if i + 1 < len(sibs) else None
+
+    @property
+    def previous_sibling(self) -> "Node | None":
+        p = self.parent
+        if p is None:
+            return None
+        sibs = p.children
+        i = sibs.index(self)
+        return sibs[i - 1] if i > 0 else None
+
+    @property
+    def text_content(self) -> str:
+        return ""
+
+    def clone(self) -> "Node":  # pragma: no cover - overridden
+        raise NotImplementedError
+
+
+class TextNode(Node):
+    __slots__ = ("data",)
+
+    def __init__(self, data: str):
+        self.parent = None
+        self.data = data
+
+    @property
+    def text_content(self) -> str:
+        return self.data
+
+    def clone(self) -> "TextNode":
+        return TextNode(self.data)
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"TextNode({self.data[:30]!r})"
+
+
+class Comment(Node):
+    __slots__ = ("data",)
+
+    def __init__(self, data: str):
+        self.parent = None
+        self.data = data
+
+    def clone(self) -> "Comment":
+        return Comment(self.data)
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"Comment({self.data[:30]!r})"
+
+
+class Element(Node):
+    __slots__ = ("tag", "attrs", "children", "readability", "_data_table")
+
+    def __init__(self, tag: str, attrs: dict[str, str] | None = None):
+        self.parent = None
+        self.tag = tag
+        self.attrs: dict[str, str] = attrs if attrs is not None else {}
+        self.children: list[Node] = []
+        # per-node extraction state (content score dict / data-table mark);
+        # plays the role of the reference's identity-keyed side tables
+        # (ArticleGrabber.swift:171-176)
+        self.readability = None
+        self._data_table = None
+
+    # -- attributes -------------------------------------------------------
+    def get_attr(self, name: str) -> str | None:
+        return self.attrs.get(name)
+
+    def set_attr(self, name: str, value: str) -> None:
+        self.attrs[name] = value
+
+    def has_attr(self, name: str) -> bool:
+        return name in self.attrs
+
+    def remove_attr(self, name: str) -> None:
+        self.attrs.pop(name, None)
+
+    @property
+    def class_name(self) -> str:
+        return self.attrs.get("class", "")
+
+    @class_name.setter
+    def class_name(self, value: str) -> None:
+        self.attrs["class"] = value
+
+    @property
+    def id(self) -> str:
+        return self.attrs.get("id", "")
+
+    @id.setter
+    def id(self, value: str) -> None:
+        self.attrs["id"] = value
+
+    # -- children ---------------------------------------------------------
+    def append_child(self, node: Node) -> None:
+        if node.parent is not None:
+            node.remove()
+        node.parent = self
+        self.children.append(node)
+
+    def insert_before(self, node: Node, ref: Node | None) -> None:
+        if node.parent is not None:
+            node.remove()
+        node.parent = self
+        if ref is None:
+            self.children.append(node)
+        else:
+            self.children.insert(self.children.index(ref), node)
+
+    def replace_child(self, new: Node, old: Node) -> None:
+        idx = self.children.index(old)
+        if new.parent is not None:
+            new.remove()
+        new.parent = self
+        self.children[idx] = new
+        old.parent = None
+
+    @property
+    def first_child(self) -> Node | None:
+        return self.children[0] if self.children else None
+
+    @property
+    def last_child(self) -> Node | None:
+        return self.children[-1] if self.children else None
+
+    @property
+    def element_children(self) -> list["Element"]:
+        return [c for c in self.children if isinstance(c, Element)]
+
+    @property
+    def first_element_child(self) -> "Element | None":
+        for c in self.children:
+            if isinstance(c, Element):
+                return c
+        return None
+
+    @property
+    def next_element_sibling(self) -> "Element | None":
+        p = self.parent
+        if p is None:
+            return None
+        sibs = p.children
+        i = sibs.index(self)
+        for c in sibs[i + 1 :]:
+            if isinstance(c, Element):
+                return c
+        return None
+
+    @property
+    def previous_element_sibling(self) -> "Element | None":
+        p = self.parent
+        if p is None:
+            return None
+        sibs = p.children
+        i = sibs.index(self)
+        for c in reversed(sibs[:i]):
+            if isinstance(c, Element):
+                return c
+        return None
+
+    # -- queries ----------------------------------------------------------
+    def iter_subtree(self):
+        """Pre-order iteration over all descendant nodes (excluding self)."""
+        stack = list(reversed(self.children))
+        while stack:
+            node = stack.pop()
+            yield node
+            if isinstance(node, Element):
+                stack.extend(reversed(node.children))
+
+    def get_elements_by_tag(self, *tags: str) -> list["Element"]:
+        out = []
+        for node in self.iter_subtree():
+            if isinstance(node, Element) and node.tag in tags:
+                out.append(node)
+        return out
+
+    @property
+    def text_content(self) -> str:
+        parts = []
+        for node in self.iter_subtree():
+            if isinstance(node, TextNode):
+                parts.append(node.data)
+        return "".join(parts)
+
+    # -- serialization ----------------------------------------------------
+    @property
+    def inner_html(self) -> str:
+        buf: list[str] = []
+        for c in self.children:
+            _serialize(c, buf)
+        return "".join(buf)
+
+    @property
+    def outer_html(self) -> str:
+        buf: list[str] = []
+        _serialize(self, buf)
+        return "".join(buf)
+
+    def clone(self) -> "Element":
+        el = Element(self.tag, dict(self.attrs))
+        for c in self.children:
+            cc = c.clone()
+            cc.parent = el
+            el.children.append(cc)
+        return el
+
+    # -- style helpers (for visibility checks) ----------------------------
+    def style_prop(self, prop: str) -> str | None:
+        style = self.attrs.get("style")
+        if not style:
+            return None
+        for decl in style.split(";"):
+            if ":" not in decl:
+                continue
+            k, v = decl.split(":", 1)
+            if k.strip().lower() == prop:
+                v = v.strip()
+                if v.lower().endswith("!important"):
+                    v = v[: -len("!important")].strip()
+                return v
+        return None
+
+    def __repr__(self) -> str:  # pragma: no cover
+        ident = ("#" + self.id) if self.id else ""
+        cls = ("." + ".".join(self.class_name.split())) if self.class_name else ""
+        return f"<{self.tag}{ident}{cls} kids={len(self.children)}>"
+
+
+class Document(Element):
+    __slots__ = ("document_uri",)
+
+    def __init__(self, document_uri: str = "about:blank"):
+        super().__init__("#document")
+        self.document_uri = document_uri
+
+    @property
+    def document_element(self) -> Element | None:
+        for c in self.children:
+            if isinstance(c, Element) and c.tag == "html":
+                return c
+        return None
+
+    @property
+    def head(self) -> Element | None:
+        html = self.document_element
+        if html is None:
+            return None
+        for c in html.children:
+            if isinstance(c, Element) and c.tag == "head":
+                return c
+        return None
+
+    @property
+    def body(self) -> Element | None:
+        html = self.document_element
+        if html is None:
+            return None
+        for c in html.children:
+            if isinstance(c, Element) and c.tag == "body":
+                return c
+        return None
+
+    @property
+    def base_uri(self) -> str:
+        """<base href> resolved against the document URI, else the doc URI."""
+        from urllib.parse import urljoin
+
+        head = self.head
+        scopes = [head] if head is not None else []
+        body = self.body
+        if body is not None:
+            scopes.append(body)
+        for scope in scopes:
+            for el in scope.get_elements_by_tag("base"):
+                href = el.get_attr("href")
+                if href:
+                    try:
+                        return urljoin(self.document_uri, href.strip())
+                    except ValueError:
+                        return self.document_uri
+        return self.document_uri
+
+    def clone(self) -> "Document":
+        doc = Document(self.document_uri)
+        for c in self.children:
+            cc = c.clone()
+            cc.parent = doc
+            doc.children.append(cc)
+        return doc
+
+    def create_element(self, tag: str) -> Element:
+        return Element(tag)
+
+
+# --------------------------------------------------------------------------
+# serialization
+# --------------------------------------------------------------------------
+
+RAW_TEXT_TAGS = frozenset(("script", "style"))
+
+
+def _serialize(node: Node, buf: list[str]) -> None:
+    if isinstance(node, TextNode):
+        p = node.parent
+        if p is not None and isinstance(p, Element) and p.tag in RAW_TEXT_TAGS:
+            buf.append(node.data)
+        else:
+            buf.append(escape(node.data, quote=False))
+        return
+    if isinstance(node, Comment):
+        buf.append("<!--")
+        buf.append(node.data)
+        buf.append("-->")
+        return
+    el = node
+    assert isinstance(el, Element)
+    if el.tag == "#document":
+        for c in el.children:
+            _serialize(c, buf)
+        return
+    buf.append("<")
+    buf.append(el.tag)
+    for name, value in el.attrs.items():
+        buf.append(" ")
+        buf.append(name)
+        buf.append('="')
+        buf.append(escape(value, quote=True))
+        buf.append('"')
+    buf.append(">")
+    if el.tag in VOID_ELEMENTS:
+        return
+    for c in el.children:
+        _serialize(c, buf)
+    buf.append("</")
+    buf.append(el.tag)
+    buf.append(">")
+
+
+# --------------------------------------------------------------------------
+# parsing
+# --------------------------------------------------------------------------
+
+
+class _TreeBuilder(HTMLParser):
+    """HTML5-ish tree builder (implied structure + auto-close rules)."""
+
+    def __init__(self, document_uri: str):
+        super().__init__(convert_charrefs=True)
+        self.doc = Document(document_uri)
+        self.stack: list[Element] = [self.doc]
+        # modes: 0 before html, 1 before head, 2 in head, 3 after head/in body
+        self.mode = 0
+
+    # -- insertion-point helpers ------------------------------------------
+    @property
+    def top(self) -> Element:
+        return self.stack[-1]
+
+    def _open(self, tag: str, attrs_list) -> Element:
+        attrs: dict[str, str] = {}
+        for name, value in attrs_list:
+            if name not in attrs:  # HTML5: first duplicate attribute wins
+                attrs[name] = value if value is not None else ""
+        el = Element(tag, attrs)
+        self.top.append_child(el)
+        return el
+
+    def _push(self, el: Element) -> None:
+        self.stack.append(el)
+
+    def _ensure_html(self) -> None:
+        if self.mode == 0:
+            html = self.doc.document_element
+            if html is None:
+                html = Element("html")
+                self.doc.append_child(html)
+            self.stack.append(html)
+            self.mode = 1
+
+    def _ensure_head(self) -> None:
+        self._ensure_html()
+        if self.mode == 1:
+            head = Element("head")
+            self.stack[1].append_child(head)
+            self.stack.append(head)
+            self.mode = 2
+
+    def _ensure_body(self) -> None:
+        self._ensure_html()
+        if self.mode == 2:
+            # close head
+            while len(self.stack) > 2:
+                self.stack.pop()
+            self.mode = 1
+        if self.mode == 1:
+            html = self.stack[1]
+            body = None
+            for c in html.children:
+                if isinstance(c, Element) and c.tag == "body":
+                    body = c
+                    break
+            if body is None:
+                body = Element("body")
+                html.append_child(body)
+            # stack: doc, html, body
+            del self.stack[2:]
+            self.stack.append(body)
+            self.mode = 3
+
+    # -- auto-close logic -------------------------------------------------
+    def _close_p_in_scope(self) -> None:
+        for i in range(len(self.stack) - 1, 0, -1):
+            t = self.stack[i].tag
+            if t == "p":
+                del self.stack[i:]
+                return
+            if t in P_SCOPE_BOUNDARY:
+                return
+
+    def _close_up_to(self, tags: frozenset[str], stop: frozenset[str]) -> None:
+        for i in range(len(self.stack) - 1, 0, -1):
+            t = self.stack[i].tag
+            if t in tags:
+                del self.stack[i:]
+                return
+            if t in stop:
+                return
+
+    # -- HTMLParser callbacks ---------------------------------------------
+    def handle_starttag(self, tag, attrs):
+        self._handle_start(tag, attrs, self_closing=False)
+
+    def handle_startendtag(self, tag, attrs):
+        self._handle_start(tag, attrs, self_closing=True)
+
+    def _handle_start(self, tag: str, attrs, self_closing: bool) -> None:
+        if tag == "html":
+            self._ensure_html()
+            # merge attributes onto existing html element
+            html = self.stack[1]
+            for name, value in attrs:
+                if name not in html.attrs:
+                    html.attrs[name] = value if value is not None else ""
+            return
+        if tag == "head":
+            self._ensure_head()
+            return
+        if tag == "body":
+            self._ensure_body()
+            body = self.stack[2]
+            for name, value in attrs:
+                if name not in body.attrs:
+                    body.attrs[name] = value if value is not None else ""
+            return
+
+        if self.mode < 2:
+            if tag in HEAD_ONLY_TAGS:
+                self._ensure_head()
+            else:
+                self._ensure_body()
+        elif self.mode == 2 and tag not in HEAD_ONLY_TAGS:
+            self._ensure_body()
+
+        # auto-close rules
+        if tag in P_CLOSERS:
+            self._close_p_in_scope()
+        if tag in HEADINGS and self.top.tag in HEADINGS:
+            self.stack.pop()
+        if tag == "li":
+            self._close_up_to(
+                frozenset(("li",)), frozenset(("ul", "ol", "menu", "html", "body"))
+            )
+        elif tag in ("dd", "dt"):
+            self._close_up_to(frozenset(("dd", "dt")), frozenset(("dl", "html", "body")))
+        elif tag == "tr":
+            self._close_up_to(
+                frozenset(("tr",)), frozenset(("table", "tbody", "thead", "tfoot", "html", "body"))
+            )
+            if self.top.tag == "table":
+                tbody = Element("tbody")
+                self.top.append_child(tbody)
+                self._push(tbody)
+        elif tag in ("td", "th"):
+            self._close_up_to(frozenset(("td", "th")), frozenset(("tr", "table", "html", "body")))
+            if self.top.tag in ("table", "tbody", "thead", "tfoot"):
+                tr = Element("tr")
+                self.top.append_child(tr)
+                self._push(tr)
+        elif tag in TABLE_SECTIONS or tag == "caption" or tag == "colgroup":
+            self._close_up_to(
+                frozenset(("tbody", "thead", "tfoot", "caption", "colgroup", "tr", "td", "th")),
+                frozenset(("table", "html", "body")),
+            )
+        elif tag == "option":
+            if self.top.tag == "option":
+                self.stack.pop()
+        elif tag == "a":
+            # nested <a> is invalid: close the open one (adoption-agency lite)
+            for i in range(len(self.stack) - 1, 0, -1):
+                t = self.stack[i].tag
+                if t == "a":
+                    del self.stack[i:]
+                    break
+                if t not in (
+                    "b", "i", "em", "strong", "span", "u", "s", "small", "big",
+                    "font", "code", "tt", "nobr",
+                ):
+                    break
+
+        el = self._open(tag, attrs)
+        if tag not in VOID_ELEMENTS and not self_closing:
+            self._push(el)
+        elif tag not in VOID_ELEMENTS and self_closing:
+            # non-void self-closing tags are treated as open-only in HTML5,
+            # but real-world usage (<div/>) intends emptiness; keep closed.
+            pass
+
+    def handle_endtag(self, tag):
+        if tag in VOID_ELEMENTS:
+            return
+        if tag == "p":
+            # </p> with no open p inserts an empty <p> in HTML5; approximate
+            # by ignoring when absent.
+            pass
+        if tag == "html" or tag == "body":
+            if self.mode == 3:
+                # keep body as insertion point for trailing content
+                del self.stack[3:]
+            return
+        if tag == "head":
+            if self.mode == 2:
+                while len(self.stack) > 2:
+                    self.stack.pop()
+                self.mode = 1
+            return
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].tag == tag:
+                del self.stack[i:]
+                return
+        # no matching open tag: ignore
+
+    def handle_data(self, data):
+        if not data:
+            return
+        if self.mode < 3:
+            if RE_ALL_WS.match(data):
+                if self.mode == 2 and self.top.tag in RAW_TEXT_TAGS:
+                    self.top.append_child(TextNode(data))
+                return
+            if self.mode == 2 and self.top.tag in HEAD_ONLY_TAGS:
+                self.top.append_child(TextNode(data))
+                return
+            self._ensure_body()
+        top = self.top
+        last = top.children[-1] if top.children else None
+        if isinstance(last, TextNode):
+            last.data += data
+        else:
+            top.append_child(TextNode(data))
+
+    def handle_comment(self, data):
+        if self.mode < 2:
+            self._ensure_html()
+            # comments between html and head attach to html
+            self.stack[1].append_child(Comment(data))
+            return
+        self.top.append_child(Comment(data))
+
+    def handle_decl(self, decl):
+        pass
+
+    def unknown_decl(self, data):
+        pass
+
+
+def parse_html(html: str, document_uri: str = "about:blank") -> Document:
+    builder = _TreeBuilder(document_uri)
+    builder.feed(html)
+    builder.close()
+    builder._ensure_body()
+    return builder.doc
+
+
+def parse_fragment(html: str) -> Element:
+    """Parse an HTML fragment; returns a detached container <div>-like
+    element holding the fragment's top-level nodes (body contents)."""
+    doc = parse_html(html)
+    container = Element("#fragment")
+    body = doc.body
+    if body is not None:
+        for c in list(body.children):
+            container.append_child(c)
+    return container

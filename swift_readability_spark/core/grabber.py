@@ -1,0 +1,809 @@
+"""Candidate scoring, selection, sibling joining and article cleanup.
+
+From-scratch Python re-expression of the grabArticle algorithm
+(``/root/reference/Sources/SwiftReadability/ArticleGrabber.swift``;
+canonical behavior: ``tmp-readability/Readability.js`` ``_grabArticle``
+and its helpers).  Runs per document inside the Arrow-batch UDF.
+
+Faithfulness notes (quirks deliberately mirrored):
+- the canonical ``_clean`` / ``_cleanConditionally`` compare
+  ``tagName === "object"`` against the *uppercase* DOM tagName, so the
+  object-innerHTML video check never fires; we mirror that by omitting it.
+- scores are stored directly on nodes and reset per retry attempt by
+  restoring a pristine clone of the body (the canonical code re-parses
+  the cached innerHTML, which equally drops expando scores).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+from . import regexps as R
+from .dom import Comment, Document, Element, Node, TextNode, js_trim
+from .helpers import (
+    get_char_count,
+    get_inner_text,
+    get_link_density,
+    get_next_node,
+    get_node_ancestors,
+    get_text_density,
+    has_ancestor_tag,
+    has_child_block_element,
+    has_single_tag_inside_element,
+    is_element_without_content,
+    is_phrasing_content,
+    is_probably_visible,
+    is_whitespace,
+    next_significant_node,
+    remove_and_get_next,
+    set_node_tag,
+    text_similarity,
+)
+
+_PARSE_INT = re.compile(r"^\s*([+-]?\d+)")
+_SENTENCE_DOT = re.compile(r"\.( |$)")
+
+DEFAULT_N_TOP_CANDIDATES = 5
+DEFAULT_CHAR_THRESHOLD = 500
+
+
+def _parse_int(value: str | None) -> int:
+    """JS parseInt semantics: leading integer or 0."""
+    if not value:
+        return 0
+    m = _PARSE_INT.match(value)
+    return int(m.group(1)) if m else 0
+
+
+class Grabber:
+    def __init__(
+        self,
+        doc: Document,
+        metadata: dict,
+        *,
+        nb_top_candidates: int = DEFAULT_N_TOP_CANDIDATES,
+        char_threshold: int = DEFAULT_CHAR_THRESHOLD,
+        allowed_video_regex=None,
+        link_density_modifier: float = 0.0,
+    ):
+        self.doc = doc
+        self.metadata = metadata
+        self.article_title: str = metadata.get("title") or ""
+        self.article_byline: str | None = None
+        self.article_dir: str | None = None
+        self.article_lang: str | None = None
+        self.nb_top_candidates = nb_top_candidates
+        self.char_threshold = char_threshold
+        self.allowed_video_regex = allowed_video_regex or R.VIDEOS
+        self.link_density_modifier = link_density_modifier
+        # degradation flags (ArticleGrabberOptions in the reference,
+        # Models.swift:48-52)
+        self.flag_strip_unlikelys = True
+        self.flag_weight_classes = True
+        self.flag_clean_conditionally = True
+        self.attempts: list[tuple[Element, int]] = []
+
+    # ------------------------------------------------------------------
+    # scoring primitives
+    # ------------------------------------------------------------------
+    def get_class_weight(self, e: Element) -> int:
+        if not self.flag_weight_classes:
+            return 0
+        weight = 0
+        class_name = e.class_name
+        if class_name:
+            if R.NEGATIVE.search(class_name):
+                weight -= 25
+            if R.POSITIVE.search(class_name):
+                weight += 25
+        el_id = e.id
+        if el_id:
+            if R.NEGATIVE.search(el_id):
+                weight -= 25
+            if R.POSITIVE.search(el_id):
+                weight += 25
+        return weight
+
+    def initialize_node(self, node: Element) -> None:
+        score = 0.0
+        tag = node.tag
+        if tag == "div":
+            score += 5
+        elif tag in ("pre", "td", "blockquote"):
+            score += 3
+        elif tag in ("address", "ol", "ul", "dl", "dd", "dt", "li", "form"):
+            score -= 3
+        elif tag in ("h1", "h2", "h3", "h4", "h5", "h6", "th"):
+            score -= 5
+        score += self.get_class_weight(node)
+        node.readability = score
+
+    # ------------------------------------------------------------------
+    # byline / header-vs-title
+    # ------------------------------------------------------------------
+    def _is_valid_byline(self, node: Element, match_string: str) -> bool:
+        rel = node.get_attr("rel")
+        itemprop = node.get_attr("itemprop")
+        byline_length = len(js_trim(node.text_content))
+        return (
+            (
+                rel == "author"
+                or (itemprop is not None and "author" in itemprop)
+                or bool(R.BYLINE.search(match_string))
+            )
+            and byline_length > 0
+            and byline_length < 100
+        )
+
+    def _header_duplicates_title(self, node: Element) -> bool:
+        if node.tag not in ("h1", "h2"):
+            return False
+        heading = get_inner_text(node, False)
+        return text_similarity(self.article_title, heading) > 0.75
+
+    # ------------------------------------------------------------------
+    # the main loop
+    # ------------------------------------------------------------------
+    def grab_article(self) -> Element | None:
+        doc = self.doc
+        page = doc.body
+        if page is None:
+            return None
+        # pristine snapshot for retry restore (the canonical code caches
+        # page.innerHTML and re-parses on failure; a deep clone is the
+        # same rollback without the reparse)
+        snapshot = [c.clone() for c in page.children]
+
+        while True:
+            article = self._grab_once()
+            text_length = len(get_inner_text(article, True))
+            if text_length >= self.char_threshold:
+                self._set_article_dir()
+                return article
+
+            # failed attempt: restore the page and relax one flag
+            page = doc.body
+            page.children = []
+            for c in snapshot:
+                cc = c.clone()
+                cc.parent = page
+                page.children.append(cc)
+            self.attempts.append((article, text_length))
+
+            if self.flag_strip_unlikelys:
+                self.flag_strip_unlikelys = False
+            elif self.flag_weight_classes:
+                self.flag_weight_classes = False
+            elif self.flag_clean_conditionally:
+                self.flag_clean_conditionally = False
+            else:
+                self.attempts.sort(key=lambda a: a[1], reverse=True)
+                if not self.attempts[0][1]:
+                    return None
+                article = self.attempts[0][0]
+                self._set_article_dir()
+                return article
+
+    def _grab_once(self) -> Element:
+        doc = self.doc
+        page = doc.body
+        strip_unlikely = self.flag_strip_unlikelys
+
+        elements_to_score: list[Element] = []
+        node: Element | None = doc.document_element
+        should_remove_title_header = True
+
+        # ---- phase 1: prepareNodes walk -------------------------------
+        while node is not None:
+            if node.tag == "html":
+                self.article_lang = node.get_attr("lang")
+
+            match_string = node.class_name + " " + node.id
+
+            if not is_probably_visible(node):
+                node = remove_and_get_next(node)
+                continue
+
+            if (
+                node.get_attr("aria-modal") == "true"
+                and node.get_attr("role") == "dialog"
+            ):
+                node = remove_and_get_next(node)
+                continue
+
+            if (
+                self.article_byline is None
+                and not self.metadata.get("byline")
+                and self._is_valid_byline(node, match_string)
+            ):
+                # prefer an [itemprop~=name] descendant text if present
+                end_marker = get_next_node(node, True)
+                nxt = get_next_node(node)
+                itemprop_name_node = None
+                while nxt is not None and nxt is not end_marker:
+                    itemprop = nxt.get_attr("itemprop")
+                    if itemprop and "name" in itemprop:
+                        itemprop_name_node = nxt
+                        break
+                    nxt = get_next_node(nxt)
+                chosen = itemprop_name_node if itemprop_name_node is not None else node
+                self.article_byline = js_trim(chosen.text_content)
+                node = remove_and_get_next(node)
+                continue
+
+            if should_remove_title_header and self._header_duplicates_title(node):
+                should_remove_title_header = False
+                node = remove_and_get_next(node)
+                continue
+
+            if strip_unlikely:
+                if (
+                    R.UNLIKELY_CANDIDATES.search(match_string)
+                    and not R.OK_MAYBE_ITS_A_CANDIDATE.search(match_string)
+                    and not has_ancestor_tag(node, "table")
+                    and not has_ancestor_tag(node, "code")
+                    and node.tag != "body"
+                    and node.tag != "a"
+                ):
+                    node = remove_and_get_next(node)
+                    continue
+                role = node.get_attr("role")
+                if role in R.UNLIKELY_ROLES:
+                    node = remove_and_get_next(node)
+                    continue
+
+            if node.tag in (
+                "div", "section", "header", "h1", "h2", "h3", "h4", "h5", "h6",
+            ) and is_element_without_content(node):
+                node = remove_and_get_next(node)
+                continue
+
+            if node.tag in R.DEFAULT_TAGS_TO_SCORE:
+                elements_to_score.append(node)
+
+            if node.tag == "div":
+                # wrap runs of phrasing content into <p>
+                child = node.first_child
+                while child is not None:
+                    next_sibling = child.next_sibling
+                    if is_phrasing_content(child):
+                        fragment: list[Node] = []
+                        while child is not None and is_phrasing_content(child):
+                            next_sibling = child.next_sibling
+                            child.remove()
+                            fragment.append(child)
+                            child = next_sibling
+                        while fragment and is_whitespace(fragment[0]):
+                            fragment.pop(0)
+                        while fragment and is_whitespace(fragment[-1]):
+                            fragment.pop()
+                        if fragment:
+                            p = doc.create_element("p")
+                            for f in fragment:
+                                p.append_child(f)
+                            node.insert_before(p, next_sibling)
+                    child = next_sibling
+
+                if (
+                    has_single_tag_inside_element(node, "p")
+                    and get_link_density(node) < 0.25
+                ):
+                    new_node = node.element_children[0]
+                    node.parent.replace_child(new_node, node)
+                    node = new_node
+                    elements_to_score.append(node)
+                elif not has_child_block_element(node):
+                    node = set_node_tag(node, "p")
+                    elements_to_score.append(node)
+            node = get_next_node(node)
+
+        # ---- phase 2: score elements ----------------------------------
+        # an element is scorable only when its parent is a real element
+        # (the canonical code skips nodes whose parent lacks a tagName,
+        # which also excludes <html> itself from ever being initialized)
+        def _has_element_parent(el: Element) -> bool:
+            return (
+                el.parent is not None
+                and isinstance(el.parent, Element)
+                and not el.parent.tag.startswith("#")
+            )
+
+        candidates: list[Element] = []
+        for element in elements_to_score:
+            if not _has_element_parent(element):
+                continue
+            inner_text = get_inner_text(element)
+            if len(inner_text) < 25:
+                continue
+            ancestors = get_node_ancestors(element, 5)
+            ancestors = [a for a in ancestors if not a.tag.startswith("#")]
+            if not ancestors:
+                continue
+
+            content_score = 1.0
+            content_score += len(R.COMMAS.split(inner_text))
+            content_score += min(len(inner_text) // 100, 3)
+
+            for level, ancestor in enumerate(ancestors):
+                if not _has_element_parent(ancestor):
+                    continue
+                if ancestor.readability is None:
+                    self.initialize_node(ancestor)
+                    candidates.append(ancestor)
+                if level == 0:
+                    divider = 1.0
+                elif level == 1:
+                    divider = 2.0
+                else:
+                    divider = level * 3.0
+                ancestor.readability += content_score / divider
+
+        # ---- phase 3: top candidate selection -------------------------
+        top_candidates: list[Element] = []
+        for candidate in candidates:
+            candidate_score = candidate.readability * (
+                1 - get_link_density(candidate)
+            )
+            candidate.readability = candidate_score
+            for t in range(self.nb_top_candidates):
+                if (
+                    t >= len(top_candidates)
+                    or candidate_score > top_candidates[t].readability
+                ):
+                    top_candidates.insert(t, candidate)
+                    if len(top_candidates) > self.nb_top_candidates:
+                        top_candidates.pop()
+                    break
+
+        top_candidate = top_candidates[0] if top_candidates else None
+        needed_to_create_top_candidate = False
+        parent_of_top_candidate: Element | None = None
+
+        if top_candidate is None or top_candidate.tag == "body":
+            top_candidate = doc.create_element("div")
+            needed_to_create_top_candidate = True
+            for child in list(page.children):
+                top_candidate.append_child(child)
+            page.append_child(top_candidate)
+            self.initialize_node(top_candidate)
+        else:
+            # promote a shared ancestor of >=3 strong alternatives
+            alternative_ancestors = [
+                get_node_ancestors(tc)
+                for tc in top_candidates[1:]
+                if tc.readability / top_candidate.readability >= 0.75
+            ]
+            MINIMUM_TOPCANDIDATES = 3
+            if len(alternative_ancestors) >= MINIMUM_TOPCANDIDATES:
+                parent_of_top_candidate = top_candidate.parent
+                while (
+                    parent_of_top_candidate is not None
+                    and parent_of_top_candidate.tag != "body"
+                ):
+                    lists_containing = 0
+                    for ancestor_list in alternative_ancestors:
+                        if lists_containing >= MINIMUM_TOPCANDIDATES:
+                            break
+                        if parent_of_top_candidate in ancestor_list:
+                            lists_containing += 1
+                    if lists_containing >= MINIMUM_TOPCANDIDATES:
+                        top_candidate = parent_of_top_candidate
+                        break
+                    parent_of_top_candidate = parent_of_top_candidate.parent
+            if top_candidate.readability is None:
+                self.initialize_node(top_candidate)
+
+            # climb parents whose score rises
+            parent_of_top_candidate = top_candidate.parent
+            last_score = top_candidate.readability
+            score_threshold = last_score / 3
+            while (
+                parent_of_top_candidate is not None
+                and parent_of_top_candidate.tag != "body"
+            ):
+                if parent_of_top_candidate.readability is None:
+                    parent_of_top_candidate = parent_of_top_candidate.parent
+                    continue
+                parent_score = parent_of_top_candidate.readability
+                if parent_score < score_threshold:
+                    break
+                if parent_score > last_score:
+                    top_candidate = parent_of_top_candidate
+                    break
+                last_score = parent_of_top_candidate.readability
+                parent_of_top_candidate = parent_of_top_candidate.parent
+
+            # if only child, climb to parent
+            parent_of_top_candidate = top_candidate.parent
+            while (
+                parent_of_top_candidate is not None
+                and parent_of_top_candidate.tag != "body"
+                and len(parent_of_top_candidate.element_children) == 1
+            ):
+                top_candidate = parent_of_top_candidate
+                parent_of_top_candidate = top_candidate.parent
+            if top_candidate.readability is None:
+                self.initialize_node(top_candidate)
+
+        # ---- phase 4: sibling joining ---------------------------------
+        article_content = doc.create_element("div")
+        sibling_score_threshold = max(10.0, top_candidate.readability * 0.2)
+        parent_of_top_candidate = top_candidate.parent
+        self._parent_of_top_candidate = parent_of_top_candidate
+        self._top_candidate = top_candidate
+
+        siblings = parent_of_top_candidate.element_children
+        s = 0
+        while s < len(siblings):
+            sibling = siblings[s]
+            append = False
+            if sibling is top_candidate:
+                append = True
+            else:
+                content_bonus = 0.0
+                if (
+                    sibling.class_name == top_candidate.class_name
+                    and top_candidate.class_name != ""
+                ):
+                    content_bonus += top_candidate.readability * 0.2
+                if (
+                    sibling.readability is not None
+                    and sibling.readability + content_bonus >= sibling_score_threshold
+                ):
+                    append = True
+                elif sibling.tag == "p":
+                    link_density = get_link_density(sibling)
+                    node_content = get_inner_text(sibling)
+                    node_length = len(node_content)
+                    if node_length > 80 and link_density < 0.25:
+                        append = True
+                    elif (
+                        node_length < 80
+                        and node_length > 0
+                        and link_density == 0
+                        and _SENTENCE_DOT.search(node_content)
+                    ):
+                        append = True
+
+            if append:
+                if sibling.tag not in R.ALTER_TO_DIV_EXCEPTIONS:
+                    sibling = set_node_tag(sibling, "div")
+                article_content.append_child(sibling)
+                siblings = parent_of_top_candidate.element_children
+            else:
+                s += 1
+
+        # ---- phase 5: cleanup -----------------------------------------
+        self.prep_article(article_content)
+
+        if needed_to_create_top_candidate:
+            top_candidate.id = "readability-page-1"
+            top_candidate.class_name = "page"
+        else:
+            div = doc.create_element("div")
+            div.id = "readability-page-1"
+            div.class_name = "page"
+            for child in list(article_content.children):
+                div.append_child(child)
+            article_content.append_child(div)
+
+        return article_content
+
+    def _set_article_dir(self) -> None:
+        parent = getattr(self, "_parent_of_top_candidate", None)
+        top = getattr(self, "_top_candidate", None)
+        if parent is None or top is None:
+            return
+        ancestors: list[Element] = [parent, top]
+        ancestors.extend(get_node_ancestors(parent))
+        for ancestor in ancestors:
+            if not isinstance(ancestor, Element) or ancestor.tag.startswith("#"):
+                continue
+            article_dir = ancestor.get_attr("dir")
+            if article_dir:
+                self.article_dir = article_dir
+                return
+
+    # ------------------------------------------------------------------
+    # prepArticle and its cleaners
+    # ------------------------------------------------------------------
+    def prep_article(self, article_content: Element) -> None:
+        self.clean_styles(article_content)
+        self.mark_data_tables(article_content)
+        self.fix_lazy_images(article_content)
+
+        self.clean_conditionally(article_content, "form")
+        self.clean_conditionally(article_content, "fieldset")
+        self.clean(article_content, "object")
+        self.clean(article_content, "embed")
+        self.clean(article_content, "footer")
+        self.clean(article_content, "link")
+        self.clean(article_content, "aside")
+
+        share_element_threshold = DEFAULT_CHAR_THRESHOLD
+        for top_candidate in article_content.element_children:
+            self.clean_matched_nodes(
+                top_candidate,
+                lambda node, match_string: bool(R.SHARE_ELEMENTS.search(match_string))
+                and len(node.text_content) < share_element_threshold,
+            )
+
+        self.clean(article_content, "iframe")
+        self.clean(article_content, "input")
+        self.clean(article_content, "textarea")
+        self.clean(article_content, "select")
+        self.clean(article_content, "button")
+        self.clean_headers(article_content)
+
+        self.clean_conditionally(article_content, "table")
+        self.clean_conditionally(article_content, "ul")
+        self.clean_conditionally(article_content, "div")
+
+        for h1 in article_content.get_elements_by_tag("h1"):
+            set_node_tag(h1, "h2")
+
+        for paragraph in reversed(article_content.get_elements_by_tag("p")):
+            if paragraph.parent is None:
+                continue
+            content_element_count = len(
+                paragraph.get_elements_by_tag("img", "embed", "object", "iframe")
+            )
+            if content_element_count == 0 and not get_inner_text(paragraph, False):
+                paragraph.remove()
+
+        for br in article_content.get_elements_by_tag("br"):
+            if br.parent is None:
+                continue
+            nxt = next_significant_node(br.next_sibling)
+            if nxt is not None and isinstance(nxt, Element) and nxt.tag == "p":
+                br.remove()
+
+        for table in article_content.get_elements_by_tag("table"):
+            if table.parent is None:
+                continue
+            tbody = (
+                table.first_element_child
+                if has_single_tag_inside_element(table, "tbody")
+                else table
+            )
+            if has_single_tag_inside_element(tbody, "tr"):
+                row = tbody.first_element_child
+                if has_single_tag_inside_element(row, "td"):
+                    cell = row.first_element_child
+                    tag = (
+                        "p"
+                        if all(is_phrasing_content(c) for c in cell.children)
+                        else "div"
+                    )
+                    cell = set_node_tag(cell, tag)
+                    table.parent.replace_child(cell, table)
+
+    def clean_styles(self, e: Element) -> None:
+        if e.tag == "svg":
+            return
+        for attr in R.PRESENTATIONAL_ATTRIBUTES:
+            e.remove_attr(attr)
+        if e.tag in R.DEPRECATED_SIZE_ATTRIBUTE_ELEMS:
+            e.remove_attr("width")
+            e.remove_attr("height")
+        cur = e.first_element_child
+        while cur is not None:
+            self.clean_styles(cur)
+            cur = cur.next_element_sibling
+
+    def mark_data_tables(self, root: Element) -> None:
+        for table in root.get_elements_by_tag("table"):
+            if table.get_attr("role") == "presentation":
+                table._data_table = False
+                continue
+            if table.get_attr("datatable") == "0":
+                table._data_table = False
+                continue
+            if table.get_attr("summary"):
+                table._data_table = True
+                continue
+            captions = table.get_elements_by_tag("caption")
+            if captions and captions[0].children:
+                table._data_table = True
+                continue
+            if any(
+                table.get_elements_by_tag(tag)
+                for tag in ("col", "colgroup", "tfoot", "thead", "th")
+            ):
+                table._data_table = True
+                continue
+            if table.get_elements_by_tag("table"):
+                table._data_table = False
+                continue
+            rows, columns = self._get_row_and_column_count(table)
+            if rows == 1 or columns == 1:
+                table._data_table = False
+                continue
+            if rows >= 10 or columns > 4:
+                table._data_table = True
+                continue
+            table._data_table = rows * columns > 10
+
+    @staticmethod
+    def _get_row_and_column_count(table: Element) -> tuple[int, int]:
+        rows = 0
+        columns = 0
+        for tr in table.get_elements_by_tag("tr"):
+            rowspan = _parse_int(tr.get_attr("rowspan"))
+            rows += rowspan or 1
+            columns_in_row = 0
+            for cell in tr.get_elements_by_tag("td"):
+                colspan = _parse_int(cell.get_attr("colspan"))
+                columns_in_row += colspan or 1
+            columns = max(columns, columns_in_row)
+        return rows, columns
+
+    def fix_lazy_images(self, root: Element) -> None:
+        for elem in root.get_elements_by_tag("img", "picture", "figure"):
+            src = elem.get_attr("src")
+            if src and R.B64_DATA_URL.search(src):
+                parts = R.B64_DATA_URL.search(src)
+                if parts.group(1) != "image/svg+xml":
+                    src_could_be_removed = False
+                    for name, value in elem.attrs.items():
+                        if name == "src":
+                            continue
+                        if R.IMG_EXT.search(value):
+                            src_could_be_removed = True
+                            break
+                    if src_could_be_removed:
+                        b64_starts = parts.end()
+                        b64_length = len(src) - b64_starts
+                        if b64_length < 133:
+                            elem.remove_attr("src")
+
+            srcset = elem.get_attr("srcset")
+            if (elem.get_attr("src") or (srcset and srcset != "null")) and (
+                "lazy" not in elem.class_name.lower()
+            ):
+                continue
+
+            for name, value in list(elem.attrs.items()):
+                if name in ("src", "srcset", "alt"):
+                    continue
+                copy_to = None
+                if R.IMG_EXT_SRCSET.search(value):
+                    copy_to = "srcset"
+                elif R.IMG_EXT_SRC.search(value):
+                    copy_to = "src"
+                if copy_to:
+                    if elem.tag in ("img", "picture"):
+                        elem.set_attr(copy_to, value)
+                    elif elem.tag == "figure" and not elem.get_elements_by_tag(
+                        "img", "picture"
+                    ):
+                        img = self.doc.create_element("img")
+                        img.set_attr(copy_to, value)
+                        elem.append_child(img)
+
+    def _embed_is_allowed_video(self, element: Element) -> bool:
+        for value in element.attrs.values():
+            if self.allowed_video_regex.search(value):
+                return True
+        # NOTE: the canonical implementation also intends to match the
+        # inner HTML of <object> embeds, but compares against the
+        # uppercase tagName so the branch never executes; mirrored here
+        # by design for fixture parity.
+        return False
+
+    def clean(self, e: Element, tag: str) -> None:
+        is_embed = tag in ("object", "embed", "iframe")
+        for element in reversed(e.get_elements_by_tag(tag)):
+            if element.parent is None:
+                continue
+            if is_embed and self._embed_is_allowed_video(element):
+                continue
+            element.remove()
+
+    def clean_matched_nodes(self, e: Element, filter_fn) -> None:
+        end_of_search = get_next_node(e, True)
+        nxt = get_next_node(e)
+        while nxt is not None and nxt is not end_of_search:
+            if filter_fn(nxt, nxt.class_name + " " + nxt.id):
+                nxt = remove_and_get_next(nxt)
+            else:
+                nxt = get_next_node(nxt)
+
+    def clean_headers(self, e: Element) -> None:
+        for node in reversed(e.get_elements_by_tag("h1", "h2")):
+            if node.parent is None:
+                continue
+            if self.get_class_weight(node) < 0:
+                node.remove()
+
+    def clean_conditionally(self, e: Element, tag: str) -> None:
+        if not self.flag_clean_conditionally:
+            return
+        for node in reversed(e.get_elements_by_tag(tag)):
+            if node.parent is None:
+                continue
+            if self._should_clean_conditionally(node, tag):
+                node.remove()
+
+    def _should_clean_conditionally(self, node: Element, tag: str) -> bool:
+        def is_data_table(t: Element) -> bool:
+            return bool(t._data_table)
+
+        is_list = tag in ("ul", "ol")
+        if not is_list:
+            list_length = 0
+            for lst in node.get_elements_by_tag("ul", "ol"):
+                list_length += len(get_inner_text(lst))
+            total = len(get_inner_text(node))
+            is_list = total > 0 and list_length / total > 0.9
+
+        if tag == "table" and is_data_table(node):
+            return False
+        if has_ancestor_tag(node, "table", -1, is_data_table):
+            return False
+        if has_ancestor_tag(node, "code"):
+            return False
+        if any(is_data_table(t) for t in node.get_elements_by_tag("table")):
+            return False
+
+        weight = self.get_class_weight(node)
+        if weight < 0:
+            return True
+
+        if get_char_count(node, R.COMMAS) < 10:
+            p = len(node.get_elements_by_tag("p"))
+            img = len(node.get_elements_by_tag("img"))
+            li = len(node.get_elements_by_tag("li")) - 100
+            input_count = len(node.get_elements_by_tag("input"))
+            heading_density = get_text_density(
+                node, ("h1", "h2", "h3", "h4", "h5", "h6")
+            )
+
+            embed_count = 0
+            for embed in node.get_elements_by_tag("object", "embed", "iframe"):
+                if self._embed_is_allowed_video(embed):
+                    return False
+                embed_count += 1
+
+            inner_text = get_inner_text(node)
+            if R.AD_WORDS.search(inner_text) or R.LOADING_WORDS.search(inner_text):
+                return True
+
+            content_length = len(inner_text)
+            link_density = get_link_density(node)
+            textish_tags = ("span", "li", "td") + tuple(R.DIV_TO_P_ELEMS)
+            text_density = get_text_density(node, textish_tags)
+            is_figure_child = has_ancestor_tag(node, "figure")
+
+            have_to_remove = (
+                (not is_figure_child and img > 1 and p / img < 0.5)
+                or (not is_list and li > p)
+                or (input_count > p // 3)
+                or (
+                    not is_list
+                    and not is_figure_child
+                    and heading_density < 0.9
+                    and content_length < 25
+                    and (img == 0 or img > 2)
+                    and link_density > 0
+                )
+                or (
+                    not is_list
+                    and weight < 25
+                    and link_density > 0.2 + self.link_density_modifier
+                )
+                or (weight >= 25 and link_density > 0.5 + self.link_density_modifier)
+                or ((embed_count == 1 and content_length < 75) or embed_count > 1)
+                or (img == 0 and text_density == 0)
+            )
+
+            if is_list and have_to_remove:
+                for child in node.element_children:
+                    if len(child.element_children) > 1:
+                        return have_to_remove
+                li_count = len(node.get_elements_by_tag("li"))
+                if img == li_count:
+                    return False
+            return have_to_remove
+        return False

@@ -1,0 +1,244 @@
+"""Shared DOM-walk helpers for the readability core.
+
+Re-expresses the traversal/scoring primitives of the reference
+(``ProcessorBase.swift:49-86``, ``ArticleGrabber.swift:1064-1112,
+1657-1747``, canonical ``tmp-readability/Readability.js``) in Python.
+"""
+
+from __future__ import annotations
+
+import re
+
+from . import regexps as R
+from .dom import (
+    Comment,
+    Element,
+    Node,
+    RE_NON_WS_END,
+    TextNode,
+    js_trim,
+    normalize_spaces,
+)
+
+
+def get_inner_text(node: Node, normalize: bool = True) -> str:
+    """textContent trimmed; optionally with whitespace runs collapsed."""
+    text = js_trim(node.text_content)
+    if normalize:
+        return normalize_spaces(text)
+    return text
+
+
+def word_count(s: str) -> int:
+    # JS str.split(/\s+/).length: empty string -> ['']; leading ws -> ['', ...]
+    parts = re.split(r"\s+", s)
+    return len(parts)
+
+
+def tokenize(s: str) -> list[str]:
+    return [t for t in R.TOKENIZE.split(s.lower()) if t]
+
+
+def text_similarity(text_a: str, text_b: str) -> float:
+    """1 - (length of tokens unique to B / total token length of B)."""
+    tokens_a = tokenize(text_a)
+    tokens_b = tokenize(text_b)
+    if not tokens_a or not tokens_b:
+        return 0.0
+    set_a = set(tokens_a)
+    uniq_b = [t for t in tokens_b if t not in set_a]
+    distance_b = len(" ".join(uniq_b)) / len(" ".join(tokens_b))
+    return 1.0 - distance_b
+
+
+def get_char_count(node: Node, pattern=R.COMMAS) -> int:
+    return len(pattern.findall(get_inner_text(node)))
+
+
+def get_link_density(element: Element) -> float:
+    text_length = len(get_inner_text(element))
+    if text_length == 0:
+        return 0.0
+    link_length = 0.0
+    for a in element.get_elements_by_tag("a"):
+        href = a.get_attr("href")
+        coefficient = 0.3 if href and R.HASH_URL.match(href) else 1.0
+        link_length += len(get_inner_text(a)) * coefficient
+    return link_length / text_length
+
+
+def get_text_density(element: Element, tags: tuple[str, ...]) -> float:
+    text_length = len(get_inner_text(element, True))
+    if text_length == 0:
+        return 0.0
+    children_length = sum(
+        len(get_inner_text(child, True)) for child in element.get_elements_by_tag(*tags)
+    )
+    return children_length / text_length
+
+
+def is_whitespace(node: Node) -> bool:
+    if isinstance(node, TextNode):
+        return len(js_trim(node.data)) == 0
+    return isinstance(node, Element) and node.tag == "br"
+
+
+def is_phrasing_content(node: Node) -> bool:
+    if isinstance(node, TextNode):
+        return True
+    if not isinstance(node, Element):
+        return False
+    if node.tag in R.PHRASING_ELEMS:
+        return True
+    if node.tag in ("a", "del", "ins"):
+        return all(is_phrasing_content(c) for c in node.children)
+    return False
+
+
+def has_single_tag_inside_element(element: Element, tag: str) -> bool:
+    kids = element.element_children
+    if len(kids) != 1 or kids[0].tag != tag:
+        return False
+    return not any(
+        isinstance(c, TextNode) and RE_NON_WS_END.search(c.data)
+        for c in element.children
+    )
+
+
+def is_element_without_content(node: Node) -> bool:
+    if not isinstance(node, Element):
+        return False
+    if len(js_trim(node.text_content)) > 0:
+        return False
+    kids = node.element_children
+    if not kids:
+        return True
+    return len(kids) == len(node.get_elements_by_tag("br")) + len(
+        node.get_elements_by_tag("hr")
+    )
+
+
+def has_child_block_element(element: Element) -> bool:
+    for c in element.children:
+        if isinstance(c, Element):
+            if c.tag in R.DIV_TO_P_ELEMS or has_child_block_element(c):
+                return True
+    return False
+
+
+def has_ancestor_tag(node: Element, tag: str, max_depth: int = 3, filter_fn=None) -> bool:
+    depth = 0
+    cur = node
+    while cur.parent is not None:
+        if max_depth > 0 and depth > max_depth:
+            return False
+        parent = cur.parent
+        if isinstance(parent, Element) and parent.tag == tag and (
+            filter_fn is None or filter_fn(parent)
+        ):
+            return True
+        cur = parent
+        depth += 1
+    return False
+
+
+def get_node_ancestors(node: Element, max_depth: int = 0) -> list[Element]:
+    ancestors: list[Element] = []
+    i = 0
+    cur = node
+    while cur.parent is not None:
+        ancestors.append(cur.parent)
+        i += 1
+        if max_depth and i == max_depth:
+            break
+        cur = cur.parent
+    return ancestors
+
+
+def get_next_node(node: Element, ignore_self_and_kids: bool = False) -> Element | None:
+    """Pre-order element traversal (the reference's getNextNode)."""
+    if not ignore_self_and_kids:
+        fec = node.first_element_child
+        if fec is not None:
+            return fec
+    nes = node.next_element_sibling
+    if nes is not None:
+        return nes
+    cur = node.parent
+    while cur is not None and cur.next_element_sibling is None:
+        cur = cur.parent
+    return cur.next_element_sibling if cur is not None else None
+
+
+def remove_and_get_next(node: Element) -> Element | None:
+    next_node = get_next_node(node, ignore_self_and_kids=True)
+    node.remove()
+    return next_node
+
+
+def next_significant_node(node: Node | None) -> Node | None:
+    """Skip whitespace-only text nodes; return the first element or
+    non-whitespace node (the reference's _nextNode)."""
+    nxt = node
+    while nxt is not None and not isinstance(nxt, Element):
+        text = nxt.text_content
+        if not re.match(r"^\s*$", text) and not _all_js_ws(text):
+            break
+        nxt = nxt.next_sibling
+    return nxt
+
+
+def _all_js_ws(s: str) -> bool:
+    return js_trim(s) == ""
+
+
+def set_node_tag(node: Element, tag: str) -> Element:
+    """Rename an element in place, preserving children/attrs/score
+    (mirrors the JSDOM fast path of the canonical _setNodeTag)."""
+    node.tag = tag
+    return node
+
+
+def is_probably_visible(node: Element) -> bool:
+    if node.style_prop("display") == "none":
+        return False
+    if node.style_prop("visibility") == "hidden":
+        return False
+    if node.has_attr("hidden"):
+        return False
+    if (
+        node.has_attr("aria-hidden")
+        and node.get_attr("aria-hidden") == "true"
+        and "fallback-image" not in node.class_name
+    ):
+        return False
+    return True
+
+
+def is_url(s: str) -> bool:
+    """Approximates WHATWG ``new URL(str)`` success: absolute URLs only."""
+    from urllib.parse import urlparse
+
+    try:
+        parsed = urlparse(s)
+    except ValueError:
+        return False
+    return bool(parsed.scheme) and (bool(parsed.netloc) or parsed.scheme in ("data", "mailto", "javascript", "about", "tel"))
+
+
+def unescape_html_entities(s: str | None) -> str | None:
+    """Restricted entity unescape: the 5 named entities plus numeric
+    references, with U+FFFD for out-of-range/surrogates."""
+    if not s:
+        return s
+    named = {"quot": '"', "amp": "&", "apos": "'", "lt": "<", "gt": ">"}
+    s = re.sub(r"&(quot|amp|apos|lt|gt);", lambda m: named[m.group(1)], s)
+
+    def sub_numeric(m: re.Match) -> str:
+        hex_part, dec_part = m.group(1), m.group(2)
+        num = int(hex_part, 16) if hex_part else int(dec_part)
+        if num == 0 or num > 0x10FFFF or (0xD800 <= num <= 0xDFFF):
+            num = 0xFFFD
+        return chr(num)
+
+    return re.sub(r"&#(?:x([0-9a-fA-F]+)|([0-9]+));", sub_numeric, s)

@@ -1,0 +1,130 @@
+"""Pre-extraction document preparation.
+
+Re-expresses the reference's preprocessing stage
+(``/root/reference/Sources/SwiftReadability/Preprocessor.swift:13-289``;
+canonical ``tmp-readability/Readability.js`` ``_unwrapNoscriptImages`` /
+``_removeScripts`` / ``_prepDocument`` / ``_replaceBrs``).
+"""
+
+from __future__ import annotations
+
+from . import regexps as R
+from .dom import Document, Element, TextNode, parse_fragment
+from .helpers import (
+    is_phrasing_content,
+    is_whitespace,
+    next_significant_node,
+    set_node_tag,
+)
+
+
+def _is_single_image(node: Element) -> bool:
+    cur: Element | None = node
+    while cur is not None:
+        if cur.tag == "img":
+            return True
+        kids = cur.element_children
+        if len(kids) != 1 or cur.text_content.strip() != "":
+            return False
+        cur = kids[0]
+    return False
+
+
+def unwrap_noscript_images(doc: Document) -> None:
+    """Drop attribute-less placeholder imgs; replace single-image nodes
+    preceding a single-image <noscript> with the noscript's img (keeping
+    old attrs as data-old-*)."""
+    for img in list(doc.get_elements_by_tag("img")):
+        keep = False
+        for name, value in img.attrs.items():
+            if name in ("src", "srcset", "data-src", "data-srcset"):
+                keep = True
+                break
+            if R.IMG_EXT.search(value):
+                keep = True
+                break
+        if not keep:
+            img.remove()
+
+    for noscript in list(doc.get_elements_by_tag("noscript")):
+        if not _is_single_image(noscript):
+            continue
+        # noscript content reaches us as raw text (HTML parsers treat
+        # noscript as text when scripting is on) or as parsed elements;
+        # normalize by re-parsing the serialized inner HTML.
+        tmp = parse_fragment(noscript.inner_html)
+        prev = noscript.previous_element_sibling
+        if prev is not None and _is_single_image(prev):
+            prev_img = prev if prev.tag == "img" else None
+            if prev_img is None:
+                imgs = prev.get_elements_by_tag("img")
+                if not imgs:
+                    continue
+                prev_img = imgs[0]
+            new_imgs = tmp.get_elements_by_tag("img")
+            if not new_imgs:
+                continue
+            new_img = new_imgs[0]
+            for name, value in list(prev_img.attrs.items()):
+                if value == "":
+                    continue
+                if name in ("src", "srcset") or R.IMG_EXT.search(value):
+                    if new_img.get_attr(name) == value:
+                        continue
+                    attr_name = name
+                    if new_img.has_attr(attr_name):
+                        attr_name = "data-old-" + attr_name
+                    new_img.set_attr(attr_name, value)
+            first = tmp.first_element_child
+            if first is not None and noscript.parent is not None and prev.parent is not None:
+                prev.parent.replace_child(first, prev)
+
+
+def remove_scripts(doc: Document) -> None:
+    for el in list(doc.get_elements_by_tag("script", "noscript")):
+        el.remove()
+
+
+def replace_brs(elem: Element, doc: Document) -> None:
+    """Runs of >=2 <br> become a <p> capturing following phrasing content."""
+    for br in list(elem.get_elements_by_tag("br")):
+        if br.parent is None:
+            continue
+        nxt = br.next_sibling
+        replaced = False
+        nxt = next_significant_node(nxt)
+        while nxt is not None and isinstance(nxt, Element) and nxt.tag == "br":
+            replaced = True
+            sibling = nxt.next_sibling
+            nxt.remove()
+            nxt = next_significant_node(sibling)
+        if not replaced:
+            continue
+        p = doc.create_element("p")
+        br.parent.replace_child(p, br)
+        nxt = p.next_sibling
+        while nxt is not None:
+            if isinstance(nxt, Element) and nxt.tag == "br":
+                next_elem = next_significant_node(nxt.next_sibling)
+                if isinstance(next_elem, Element) and next_elem.tag == "br":
+                    break
+            if not is_phrasing_content(nxt):
+                break
+            sibling = nxt.next_sibling
+            p.append_child(nxt)
+            nxt = sibling
+        while p.last_child is not None and is_whitespace(p.last_child):
+            p.last_child.remove()
+        if p.parent is not None and p.parent.tag == "p":
+            set_node_tag(p.parent, "div")
+
+
+def prep_document(doc: Document) -> None:
+    """Remove style tags, normalize <br> runs, retag <font> as <span>."""
+    for el in list(doc.get_elements_by_tag("style")):
+        el.remove()
+    body = doc.body
+    if body is not None:
+        replace_brs(body, doc)
+    for el in doc.get_elements_by_tag("font"):
+        set_node_tag(el, "span")

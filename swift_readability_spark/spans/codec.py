@@ -1,0 +1,179 @@
+"""HTML <-> interleaved span-sequence codec.
+
+The corpus data model (BASELINE.json ``input_hint``) stores each
+document as ``(doc_id, spans)`` where ``spans`` is an array of
+``(kind, text, media_ref, offset)``:
+
+- ``kind='text'``  : an HTML markup fragment (may be structurally
+  unbalanced on its own; concatenating all spans in offset order
+  rebuilds a balanced document),
+- ``kind='media'`` : one media element (img/picture/video/audio/
+  iframe/embed/object) collapsed to its primary source URL.
+
+Segmentation rule (FIXTURES.md §1): split the serialized document at
+every media element boundary; each media element becomes one media
+span; markup between boundaries becomes text spans; ``offset`` numbers
+spans 0..n-1 in document order.
+
+Reassembly re-injects each media span as a placeholder element carrying
+its ``media_ref`` (an ``<iframe>`` when the ref matches the allowed
+video regex so embed-preservation heuristics behave, else an ``<img>``)
+— the media tag/attributes themselves are, by design of the span data
+model, not preserved.
+"""
+
+from __future__ import annotations
+
+from html import escape
+
+from ..core import regexps as R
+from ..core.dom import (
+    Comment,
+    Document,
+    Element,
+    Node,
+    RAW_TEXT_TAGS,
+    TextNode,
+    parse_fragment,
+    parse_html,
+)
+
+MEDIA_TAGS = frozenset(("img", "picture", "video", "audio", "iframe", "embed", "object"))
+
+
+def extract_media_ref(el: Element) -> str:
+    """Primary source URL of a media element (src > data[-src] > srcset
+    > any image-looking attribute), looking into img/source descendants
+    for picture/video/audio/object wrappers."""
+
+    def srcset_first(v: str) -> str | None:
+        m = R.SRCSET_URL.search(v)
+        return m.group(1) if m else None
+
+    scope = [el]
+    if el.tag in ("picture", "video", "audio", "object", "figure"):
+        scope += el.get_elements_by_tag("img", "source", "embed")
+
+    candidates: list[str | None] = []
+    if el.tag == "object":
+        candidates.append(el.get_attr("data"))
+    for e in scope:
+        candidates.append(e.get_attr("src"))
+    for e in scope:
+        candidates.append(e.get_attr("data-src"))
+    for e in scope:
+        v = e.get_attr("srcset")
+        if v:
+            candidates.append(srcset_first(v))
+    for e in scope:
+        v = e.get_attr("data-srcset")
+        if v:
+            candidates.append(srcset_first(v))
+    for e in scope:
+        for v in e.attrs.values():
+            if v and R.IMG_EXT.search(v):
+                candidates.append(v)
+    for c in candidates:
+        if c:
+            return c
+    return ""
+
+
+def _serialize_spans(node: Node, buf: list[str], spans: list[dict], in_noscript: bool) -> None:
+    if isinstance(node, TextNode):
+        parent = node.parent
+        if parent is not None and parent.tag in RAW_TEXT_TAGS:
+            buf.append(node.data)
+        else:
+            buf.append(escape(node.data, quote=False))
+        return
+    if isinstance(node, Comment):
+        # comments are presentation-irrelevant; the codec drops them so
+        # both sides of the equality check agree
+        return
+    el = node
+    assert isinstance(el, Element)
+    if el.tag == "#document" or el.tag == "#fragment":
+        for c in el.children:
+            _serialize_spans(c, buf, spans, in_noscript)
+        return
+    if el.tag in MEDIA_TAGS and not in_noscript:
+        _flush_text(buf, spans)
+        spans.append(
+            {
+                "kind": "media",
+                "text": None,
+                "media_ref": extract_media_ref(el),
+                "offset": len(spans),
+            }
+        )
+        return
+    buf.append("<")
+    buf.append(el.tag)
+    for name, value in el.attrs.items():
+        buf.append(f' {name}="{escape(value, quote=True)}"')
+    buf.append(">")
+    from ..core.dom import VOID_ELEMENTS
+
+    if el.tag in VOID_ELEMENTS:
+        return
+    child_in_noscript = in_noscript or el.tag == "noscript"
+    for c in el.children:
+        _serialize_spans(c, buf, spans, child_in_noscript)
+    buf.append(f"</{el.tag}>")
+
+
+def _flush_text(buf: list[str], spans: list[dict]) -> None:
+    if not buf:
+        return
+    text = "".join(buf)
+    buf.clear()
+    if text:
+        spans.append(
+            {"kind": "text", "text": text, "media_ref": None, "offset": len(spans)}
+        )
+
+
+def element_to_spans(root: Node, inner: bool = False) -> list[dict]:
+    """Segment a DOM subtree; ``inner=True`` serializes only the root's
+    children (innerHTML semantics, matching the canonical serializer)."""
+    buf: list[str] = []
+    spans: list[dict] = []
+    if inner and isinstance(root, Element):
+        for c in root.children:
+            _serialize_spans(c, buf, spans, in_noscript=False)
+    else:
+        _serialize_spans(root, buf, spans, in_noscript=False)
+    _flush_text(buf, spans)
+    return spans
+
+
+def html_to_spans(html: str, document_uri: str = "about:blank") -> list[dict]:
+    """Segment a full HTML document into an interleaved span sequence."""
+    doc = parse_html(html, document_uri)
+    return element_to_spans(doc)
+
+
+def fragment_to_spans(html: str) -> list[dict]:
+    """Segment an HTML fragment (e.g. extracted article content)."""
+    return element_to_spans(parse_fragment(html))
+
+
+def media_placeholder(media_ref: str) -> str:
+    if media_ref and R.VIDEOS.search(media_ref):
+        return f'<iframe src="{escape(media_ref, quote=True)}"></iframe>'
+    if media_ref:
+        return f'<img src="{escape(media_ref, quote=True)}">'
+    return "<img>"
+
+
+def spans_to_html(spans: list[dict]) -> str:
+    """Reassemble a span sequence into HTML with media placeholders,
+    in offset order."""
+    parts: list[str] = []
+    for span in sorted(spans, key=lambda s: s["offset"]):
+        if span["kind"] == "media":
+            parts.append(media_placeholder(span.get("media_ref") or ""))
+        else:
+            parts.append(span.get("text") or "")
+    return "".join(parts)
