@@ -369,10 +369,17 @@ class Grabber:
             self.initialize_node(top_candidate)
         else:
             # promote a shared ancestor of >=3 strong alternatives
+            # JS division: x/0 is +Infinity (passes >= 0.75 when x > 0)
+            top_score = top_candidate.readability
             alternative_ancestors = [
                 get_node_ancestors(tc)
                 for tc in top_candidates[1:]
-                if tc.readability / top_candidate.readability >= 0.75
+                if (
+                    (tc.readability / top_score)
+                    if top_score != 0
+                    else (math.inf if tc.readability > 0 else 0.0)
+                )
+                >= 0.75
             ]
             MINIMUM_TOPCANDIDATES = 3
             if len(alternative_ancestors) >= MINIMUM_TOPCANDIDATES:

@@ -68,6 +68,9 @@ def to_absolute_uri(uri: str, base_uri: str, document_uri: str) -> str:
         path = quote(path, safe="/%!$&'()*+,;=:@~.-_" + "0123456789" + "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ")
         query = quote(parts.query, safe="/%!$&'()*+,;=:@~.-_?" + "0123456789" + "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ")
         out = urlunsplit((scheme, netloc, path, query, parts.fragment))
+        # urlunsplit drops a bare '?'; WHATWG href keeps it
+        if not parts.query and not parts.fragment and resolved.endswith("?"):
+            out += "?"
         return out
     except ValueError:
         return uri

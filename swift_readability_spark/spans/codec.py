@@ -73,10 +73,19 @@ def extract_media_ref(el: Element) -> str:
         for v in e.attrs.values():
             if v and R.IMG_EXT.search(v):
                 candidates.append(v)
+    def is_tiny_b64_placeholder(ref: str) -> bool:
+        m = R.B64_DATA_URL.search(ref)
+        if not m or m.group(1) == "image/svg+xml":
+            return False
+        return len(ref) - m.end() < 133
+
+    candidates = [c for c in candidates if c]
     for c in candidates:
-        if c:
+        # prefer a real source over a 1px base64 lazy-loading stub
+        # (mirrors the fixLazyImages preference in the extraction core)
+        if not is_tiny_b64_placeholder(c):
             return c
-    return ""
+    return candidates[0] if candidates else ""
 
 
 def _serialize_spans(node: Node, buf: list[str], spans: list[dict], in_noscript: bool) -> None:
@@ -159,12 +168,35 @@ def fragment_to_spans(html: str) -> list[dict]:
     return element_to_spans(parse_fragment(html))
 
 
+_IMAGE_EXTS = (
+    ".jpg", ".jpeg", ".png", ".webp", ".gif", ".svg", ".avif", ".bmp",
+    ".ico", ".tif", ".tiff",
+)
+_EMBED_EXTS = (".swf", ".mp4", ".webm", ".ogv", ".ogg", ".mp3", ".m4v", ".mov", ".flv")
+
+
 def media_placeholder(media_ref: str) -> str:
-    if media_ref and R.VIDEOS.search(media_ref):
-        return f'<iframe src="{escape(media_ref, quote=True)}"></iframe>'
-    if media_ref:
-        return f'<img src="{escape(media_ref, quote=True)}">'
-    return "<img>"
+    """Re-inject a media span as a placeholder element.  The tag is
+    inferred from the ref so downstream embed-cleaning heuristics treat
+    it like the original element class: video-host URLs -> iframe
+    (preserved), image-looking URLs -> img, embed-looking -> embed."""
+    if not media_ref:
+        return "<img>"
+    ref = escape(media_ref, quote=True)
+    if R.VIDEOS.search(media_ref):
+        return f'<iframe src="{ref}"></iframe>'
+    low = media_ref.split("?", 1)[0].split("#", 1)[0].lower()
+    if low.startswith("data:"):
+        if low.startswith("data:image"):
+            return f'<img src="{ref}">'
+        return f'<embed src="{ref}">'
+    if low.startswith("about:"):
+        return f'<iframe src="{ref}"></iframe>'
+    if low.endswith(_IMAGE_EXTS) or R.IMG_EXT.search(low):
+        return f'<img src="{ref}">'
+    if low.endswith(_EMBED_EXTS):
+        return f'<embed src="{ref}">'
+    return f'<img src="{ref}">'
 
 
 def spans_to_html(spans: list[dict]) -> str:

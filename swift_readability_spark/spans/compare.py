@@ -10,8 +10,17 @@ sequences with our own parser, which is serializer-agnostic.
 
 from __future__ import annotations
 
-from ..core.dom import Comment, Element, Node, TextNode, js_trim, normalize_spaces
+import re
+
+from ..core.dom import Comment, Element, Node, TextNode, js_trim
 from .codec import fragment_to_spans, spans_to_html
+
+_ANY_WS = re.compile(r"\s+")
+
+
+def _collapse(s: str) -> str:
+    """The suite's whitespace collapse: \\s+ -> ' ', trimmed."""
+    return _ANY_WS.sub(" ", s).strip()
 
 
 def _significant_nodes(root: Element) -> list[Node]:
@@ -76,7 +85,7 @@ def compare_dom(actual: Element, expected: Element, max_mismatches: int = 10) ->
             mismatches.append(f"node {i}: type differs: {a!r} vs {e!r}")
             break
         if isinstance(a, TextNode):
-            ta, te = normalize_spaces(a.data), normalize_spaces(e.data)
+            ta, te = _collapse(a.data), _collapse(e.data)
             if ta != te:
                 mismatches.append(f"node {i}: text differs: {ta[:120]!r} vs {te[:120]!r}")
             continue
@@ -84,8 +93,8 @@ def compare_dom(actual: Element, expected: Element, max_mismatches: int = 10) ->
         if a.tag != e.tag:
             mismatches.append(f"node {i}: tag differs: <{a.tag}> vs <{e.tag}>")
             break
-        a_attrs = {k: normalize_spaces(v) for k, v in a.attrs.items()}
-        e_attrs = {k: normalize_spaces(v) for k, v in e.attrs.items()}
+        a_attrs = {k: _collapse(v) for k, v in a.attrs.items()}
+        e_attrs = {k: _collapse(v) for k, v in e.attrs.items()}
         if a_attrs != e_attrs:
             diff_keys = {
                 k
