@@ -87,7 +87,7 @@ def main():
         both_pass += c_ok and m_ok
         status = ("C" if c_ok else "-") + ("M" if m_ok else "-")
         if not (c_ok and m_ok):
-            failures.append((name, status, (mism + meta_mism)[:1]))
+            failures.append((name, status, [m[:200] for m in (mism + meta_mism)[:1]]))
         if args.fixture:
             print(name, status)
     if not args.fixture:

@@ -44,6 +44,9 @@ def to_absolute_uri(uri: str, base_uri: str, document_uri: str) -> str:
         # special schemes treat backslash as slash
         cleaned = cleaned.replace("\\", "/")
         resolved = urljoin(base_uri, cleaned)
+        # WHATWG file-URL quirk: a Windows drive letter written as C| is
+        # normalized to C:
+        resolved = re.sub(r"^(file:///)([A-Za-z])\|", r"\1\2:", resolved)
         parts = urlsplit(resolved)
         scheme = parts.scheme.lower()
         netloc = parts.netloc
@@ -65,11 +68,13 @@ def to_absolute_uri(uri: str, base_uri: str, document_uri: str) -> str:
         if scheme in _SPECIAL_SCHEMES and not path:
             path = "/"
         # percent-encode characters a browser would encode in the path/query
-        path = quote(path, safe="/%!$&'()*+,;=:@~.-_" + "0123456789" + "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ")
+        path = quote(path, safe="/%!$&'()*+,;=:@~.-_|" + "0123456789" + "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ")
         query = quote(parts.query, safe="/%!$&'()*+,;=:@~.-_?" + "0123456789" + "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ")
         out = urlunsplit((scheme, netloc, path, query, parts.fragment))
-        # urlunsplit drops a bare '?'; WHATWG href keeps it
-        if not parts.query and not parts.fragment and resolved.endswith("?"):
+        # urlunsplit drops a bare '?' / '#'; WHATWG href keeps them
+        if not parts.fragment and resolved.endswith("#"):
+            out += "#"
+        elif not parts.query and not parts.fragment and resolved.endswith("?"):
             out += "?"
         return out
     except ValueError:

@@ -172,7 +172,11 @@ _IMAGE_EXTS = (
     ".jpg", ".jpeg", ".png", ".webp", ".gif", ".svg", ".avif", ".bmp",
     ".ico", ".tif", ".tiff",
 )
-_EMBED_EXTS = (".swf", ".mp4", ".webm", ".ogv", ".ogg", ".mp3", ".m4v", ".mov", ".flv")
+# audio/video files -> <video> placeholder: like the original <video>/
+# <audio> elements, it is NOT scanned by the embed-cleaning loop, so a
+# video-host allowlist match cannot veto removal of its container
+_AV_EXTS = (".mp4", ".webm", ".ogv", ".ogg", ".mp3", ".m4v", ".mov", ".wav", ".m4a")
+_EMBED_EXTS = (".swf", ".flv")
 
 
 def media_placeholder(media_ref: str) -> str:
@@ -183,8 +187,6 @@ def media_placeholder(media_ref: str) -> str:
     if not media_ref:
         return "<img>"
     ref = escape(media_ref, quote=True)
-    if R.VIDEOS.search(media_ref):
-        return f'<iframe src="{ref}"></iframe>'
     low = media_ref.split("?", 1)[0].split("#", 1)[0].lower()
     if low.startswith("data:"):
         if low.startswith("data:image"):
@@ -192,8 +194,13 @@ def media_placeholder(media_ref: str) -> str:
         return f'<embed src="{ref}">'
     if low.startswith("about:"):
         return f'<iframe src="{ref}"></iframe>'
+    # an image-looking URL is an image even on a video/archive host
     if low.endswith(_IMAGE_EXTS) or R.IMG_EXT.search(low):
         return f'<img src="{ref}">'
+    if low.endswith(_AV_EXTS):
+        return f'<video src="{ref}"></video>'
+    if R.VIDEOS.search(media_ref) or "embed" in low:
+        return f'<iframe src="{ref}"></iframe>'
     if low.endswith(_EMBED_EXTS):
         return f'<embed src="{ref}">'
     return f'<img src="{ref}">'
