@@ -46,7 +46,7 @@ def run_fixture(name: str, verbose: bool = False):
     # (ReadabilityTests.swift:23)
     opts = ReadabilityOptions(classes_to_preserve=("caption",))
     result = extract_document(name, in_spans, BASE_URL, opts)
-    exp_spans = html_to_spans(expected_html, BASE_URL)
+    exp_spans = html_to_spans(expected_html, BASE_URL, visibility_filter=False)
 
     mismatches = compare_spans(result["spans"], exp_spans)
     meta_mismatches = []

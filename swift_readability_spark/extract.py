@@ -39,7 +39,7 @@ def extract_document(
         if result is None:
             out["error"] = "no_article"
             return out
-        out["spans"] = element_to_spans(result.article, inner=True)
+        out["spans"] = element_to_spans(result.article, inner=True, visibility_filter=False)
         out["title"] = result.title
         out["byline"] = result.byline
         out["dir"] = result.dir

@@ -59,6 +59,14 @@ def extract_media_ref(el: Element) -> str:
         candidates.append(el.get_attr("data"))
     for e in scope:
         candidates.append(e.get_attr("src"))
+    if el.tag in ("video", "audio"):
+        # an A/V element is A/V content even when only a poster/lazy
+        # attr carries an image URL: prefer any audio/video-file attr
+        # so the placeholder keeps the element's media class
+        for e in scope:
+            for v in e.attrs.values():
+                if v and v.split("?", 1)[0].lower().endswith(_AV_EXTS):
+                    candidates.append(v)
     for e in scope:
         candidates.append(e.get_attr("data-src"))
     for e in scope:
@@ -88,7 +96,13 @@ def extract_media_ref(el: Element) -> str:
     return candidates[0] if candidates else ""
 
 
-def _serialize_spans(node: Node, buf: list[str], spans: list[dict], in_noscript: bool) -> None:
+def _serialize_spans(
+    node: Node,
+    buf: list[str],
+    spans: list[dict],
+    in_noscript: bool,
+    visibility_filter: bool = True,
+) -> None:
     if isinstance(node, TextNode):
         parent = node.parent
         if parent is not None and parent.tag in RAW_TEXT_TAGS:
@@ -104,9 +118,20 @@ def _serialize_spans(node: Node, buf: list[str], spans: list[dict], in_noscript:
     assert isinstance(el, Element)
     if el.tag == "#document" or el.tag == "#fragment":
         for c in el.children:
-            _serialize_spans(c, buf, spans, in_noscript)
+            _serialize_spans(c, buf, spans, in_noscript, visibility_filter)
         return
     if el.tag in MEDIA_TAGS and not in_noscript:
+        # hidden media (tracking pixels behind display:none) is not
+        # displayed content: no span, and the extraction core would
+        # drop the node anyway.  aria-hidden is deliberately NOT
+        # checked here: its fallback-image exception depends on class
+        # attributes, which are cleaned from extracted output, so it
+        # cannot be applied symmetrically on both sides.
+        if visibility_filter:
+            from ..core.helpers import is_probably_visible
+
+            if not is_probably_visible(el):
+                return
         _flush_text(buf, spans)
         spans.append(
             {
@@ -128,7 +153,7 @@ def _serialize_spans(node: Node, buf: list[str], spans: list[dict], in_noscript:
         return
     child_in_noscript = in_noscript or el.tag == "noscript"
     for c in el.children:
-        _serialize_spans(c, buf, spans, child_in_noscript)
+        _serialize_spans(c, buf, spans, child_in_noscript, visibility_filter)
     buf.append(f"</{el.tag}>")
 
 
@@ -143,29 +168,40 @@ def _flush_text(buf: list[str], spans: list[dict]) -> None:
         )
 
 
-def element_to_spans(root: Node, inner: bool = False) -> list[dict]:
+def element_to_spans(
+    root: Node, inner: bool = False, visibility_filter: bool = True
+) -> list[dict]:
     """Segment a DOM subtree; ``inner=True`` serializes only the root's
-    children (innerHTML semantics, matching the canonical serializer)."""
+    children (innerHTML semantics, matching the canonical serializer).
+
+    ``visibility_filter=True`` (ingestion of raw documents) drops media
+    elements hidden via style/hidden/aria-hidden — they are not
+    displayed content and the extraction core would remove them anyway.
+    Pass ``False`` when segmenting *extracted* output, where classes
+    have been cleaned (so the aria-hidden fallback-image exception can
+    no longer be evaluated) and hidden nodes are already gone."""
     buf: list[str] = []
     spans: list[dict] = []
     if inner and isinstance(root, Element):
         for c in root.children:
-            _serialize_spans(c, buf, spans, in_noscript=False)
+            _serialize_spans(c, buf, spans, False, visibility_filter)
     else:
-        _serialize_spans(root, buf, spans, in_noscript=False)
+        _serialize_spans(root, buf, spans, False, visibility_filter)
     _flush_text(buf, spans)
     return spans
 
 
-def html_to_spans(html: str, document_uri: str = "about:blank") -> list[dict]:
+def html_to_spans(
+    html: str, document_uri: str = "about:blank", visibility_filter: bool = True
+) -> list[dict]:
     """Segment a full HTML document into an interleaved span sequence."""
     doc = parse_html(html, document_uri)
-    return element_to_spans(doc)
+    return element_to_spans(doc, visibility_filter=visibility_filter)
 
 
 def fragment_to_spans(html: str) -> list[dict]:
     """Segment an HTML fragment (e.g. extracted article content)."""
-    return element_to_spans(parse_fragment(html))
+    return element_to_spans(parse_fragment(html), visibility_filter=False)
 
 
 _IMAGE_EXTS = (
@@ -199,7 +235,11 @@ def media_placeholder(media_ref: str) -> str:
         return f'<img src="{ref}">'
     if low.endswith(_AV_EXTS):
         return f'<video src="{ref}"></video>'
-    if R.VIDEOS.search(media_ref) or "embed" in low:
+    if (
+        R.VIDEOS.search(media_ref)
+        or "embed" in low
+        or low.endswith((".html", ".htm", ".shtml"))
+    ):
         return f'<iframe src="{ref}"></iframe>'
     if low.endswith(_EMBED_EXTS):
         return f'<embed src="{ref}">'
