@@ -24,6 +24,54 @@ _C0_TRIM = "".join(chr(i) for i in range(0x21)) + "\x7f"
 _SPECIAL_SCHEMES = ("http", "https", "ws", "wss", "ftp", "file")
 
 
+def _remove_dot_segments(path: str) -> str:
+    segs = path.split("/")
+    out: list[str] = []
+    for i, seg in enumerate(segs):
+        last = i == len(segs) - 1
+        if seg == ".":
+            if last:
+                out.append("")
+            continue
+        if seg == "..":
+            if len(out) > 1:
+                out.pop()
+            if last:
+                out.append("")
+            continue
+        out.append(seg)
+    return "/".join(out)
+
+
+def _whatwg_join(base: str, rel: str, rel_has_scheme: bool) -> str:
+    """RFC 3986 merge that, unlike urljoin, preserves empty path
+    segments ('//' inside a path survives, as in browsers)."""
+    if rel_has_scheme:
+        return rel
+    b = urlsplit(base)
+    if rel.startswith("//"):
+        return f"{b.scheme}:{rel}"
+    frag = ""
+    if "#" in rel:
+        rel, frag = rel.split("#", 1)
+        frag = "#" + frag
+    query = ""
+    if "?" in rel:
+        rel, query = rel.split("?", 1)
+        query = "?" + query
+    if not rel:
+        path = b.path
+        if not query:
+            query = ("?" + b.query) if b.query else ""
+    elif rel.startswith("/"):
+        path = _remove_dot_segments(rel)
+    else:
+        base_dir = b.path[: b.path.rfind("/") + 1] if "/" in b.path else "/"
+        path = _remove_dot_segments(base_dir + rel)
+    netloc = ("//" + b.netloc) if b.netloc else ""
+    return f"{b.scheme}:{netloc}{path}{query}{frag}"
+
+
 def to_absolute_uri(uri: str, base_uri: str, document_uri: str) -> str:
     """WHATWG-flavoured resolution of ``uri`` against ``base_uri``.
 
@@ -43,7 +91,7 @@ def to_absolute_uri(uri: str, base_uri: str, document_uri: str) -> str:
             return cleaned
         # special schemes treat backslash as slash
         cleaned = cleaned.replace("\\", "/")
-        resolved = urljoin(base_uri, cleaned)
+        resolved = _whatwg_join(base_uri, cleaned, bool(scheme_match))
         # WHATWG file-URL quirk: a Windows drive letter written as C| is
         # normalized to C:
         resolved = re.sub(r"^(file:///)([A-Za-z])\|", r"\1\2:", resolved)

@@ -38,7 +38,10 @@ from ..core.dom import (
     parse_html,
 )
 
-MEDIA_TAGS = frozenset(("img", "picture", "video", "audio", "iframe", "embed", "object"))
+# <picture> is deliberately NOT a boundary: it is serialized as markup
+# (preserving its non-phrasing block semantics and lazy-loading attrs)
+# and the <img> inside it becomes the media span.
+MEDIA_TAGS = frozenset(("img", "video", "audio", "iframe", "embed", "object"))
 
 
 def extract_media_ref(el: Element) -> str:
@@ -53,6 +56,10 @@ def extract_media_ref(el: Element) -> str:
     scope = [el]
     if el.tag in ("picture", "video", "audio", "object", "figure"):
         scope += el.get_elements_by_tag("img", "source", "embed")
+    elif el.tag == "img" and el.parent is not None and el.parent.tag == "picture":
+        # the img is the boundary for its <picture>: consider sibling
+        # <source> elements for the ref as well
+        scope += el.parent.get_elements_by_tag("source")
 
     candidates: list[str | None] = []
     if el.tag == "object":
@@ -233,7 +240,7 @@ def media_placeholder(media_ref: str) -> str:
     # an image-looking URL is an image even on a video/archive host
     if low.endswith(_IMAGE_EXTS) or R.IMG_EXT.search(low):
         return f'<img src="{ref}">'
-    if low.endswith(_AV_EXTS):
+    if low.endswith(_AV_EXTS) or low.startswith("blob:"):
         return f'<video src="{ref}"></video>'
     if (
         R.VIDEOS.search(media_ref)
