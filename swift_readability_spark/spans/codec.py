@@ -250,6 +250,8 @@ def media_placeholder(media_ref: str) -> str:
         return f'<iframe src="{ref}"></iframe>'
     if low.endswith(_EMBED_EXTS):
         return f'<embed src="{ref}">'
+    # default: image — extensionless URLs are far more often CDN images
+    # (wiki math renders, image resizers) than embed pages
     return f'<img src="{ref}">'
 
 
