@@ -1,0 +1,265 @@
+"""The corpus extraction job: scan -> resume filter -> skew-aware
+repartition -> Arrow-batch extraction -> output + lineage append.
+
+DataFrame-native corpus layer per SURVEY.md §2.1/§4.3:
+
+- **stable partition keys**: ``pmod(xxhash64(doc_id), n_partitions)``
+  — not physical task ids — so a re-run maps every document to the
+  same key and resume can skip exactly the committed work.
+- **skew salting**: documents whose span payload exceeds
+  ``heavy_threshold`` bytes are routed to a dedicated repartition by
+  ``doc_id`` (one mega-doc per task neighborhood) instead of sharing
+  hash partitions with thousands of small docs.  Combined with a small
+  ``arrow.maxRecordsPerBatch`` this bounds per-batch memory at any
+  document-size distribution.
+- **resume**: a left-anti join of the input's partition keys against
+  committed lineage rows (Iceberg would make the appends atomic; on
+  plain parquet the lineage write is the commit point because it is
+  written only after the output write completes).
+- everything outside the extraction UDF is native DataFrame code that
+  Catalyst optimizes (scan pruning, AQE shuffle planning).
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+
+import pyarrow as pa
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+SPAN_STRUCT = T.StructType(
+    [
+        T.StructField("kind", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("offset", T.IntegerType()),
+    ]
+)
+SPANS_TYPE = T.ArrayType(SPAN_STRUCT)
+
+DOCUMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("spans", SPANS_TYPE),
+    ]
+)
+
+EXTRACTED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("spans", SPANS_TYPE),
+        T.StructField("title", T.StringType()),
+        T.StructField("byline", T.StringType()),
+        T.StructField("dir", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("excerpt", T.StringType()),
+        T.StructField("site_name", T.StringType()),
+        T.StructField("published_time", T.StringType()),
+        T.StructField("text_length", T.IntegerType()),
+        T.StructField("readerable", T.BooleanType()),
+        T.StructField("error", T.StringType()),
+        T.StructField("partition_key", T.IntegerType()),
+        T.StructField("run_id", T.StringType()),
+        T.StructField("wall_ms", T.DoubleType()),
+    ]
+)
+
+_ARROW_SPAN = pa.struct(
+    [
+        ("kind", pa.string()),
+        ("text", pa.string()),
+        ("media_ref", pa.string()),
+        ("offset", pa.int32()),
+    ]
+)
+_ARROW_OUT = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("spans", pa.list_(_ARROW_SPAN)),
+        ("title", pa.string()),
+        ("byline", pa.string()),
+        ("dir", pa.string()),
+        ("lang", pa.string()),
+        ("excerpt", pa.string()),
+        ("site_name", pa.string()),
+        ("published_time", pa.string()),
+        ("text_length", pa.int32()),
+        ("readerable", pa.bool_()),
+        ("error", pa.string()),
+        ("partition_key", pa.int32()),
+        ("run_id", pa.string()),
+        ("wall_ms", pa.float64()),
+    ]
+)
+
+# payload size (bytes of text+refs) above which a document is routed to
+# the dedicated heavy path; at 10^12-doc scale this is the knob that
+# keeps the p99 task time flat under heavy-tailed document sizes
+DEFAULT_HEAVY_THRESHOLD = 1 << 21  # 2 MiB
+
+_DOC_BYTES_EXPR = (
+    "aggregate(spans, 0L, (acc, s) -> acc"
+    " + coalesce(length(s.text), 0) + coalesce(length(s.media_ref), 0))"
+)
+
+
+def make_extract_batches(base_url: str, run_id: str):
+    """Returns a mapInArrow function: vectorized batch extraction.
+
+    The pure-Python readability core runs per document *inside* the
+    Arrow batch; only columnar Arrow buffers cross the JVM<->Python
+    boundary (no per-row Python UDF, per BASELINE input_hint).
+    """
+
+    def extract_batches(batches):
+        from ..extract import extract_document
+
+        for batch in batches:
+            rows = batch.to_pylist()
+            out = {name: [] for name in _ARROW_OUT.names}
+            for row in rows:
+                t0 = time.perf_counter()
+                result = extract_document(
+                    row["doc_id"], row.get("spans") or [], base_url
+                )
+                wall_ms = (time.perf_counter() - t0) * 1000.0
+                out["doc_id"].append(result["doc_id"])
+                out["spans"].append(result["spans"])
+                out["title"].append(result["title"])
+                out["byline"].append(result["byline"])
+                out["dir"].append(result["dir"])
+                out["lang"].append(result["lang"])
+                out["excerpt"].append(result["excerpt"])
+                out["site_name"].append(result["site_name"])
+                out["published_time"].append(result["published_time"])
+                out["text_length"].append(result["text_length"])
+                out["readerable"].append(result["readerable"])
+                out["error"].append(result["error"])
+                out["partition_key"].append(row.get("partition_key", -1))
+                out["run_id"].append(run_id)
+                out["wall_ms"].append(wall_ms)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out[n], type=_ARROW_OUT.field(n).type) for n in _ARROW_OUT.names],
+                schema=_ARROW_OUT,
+            )
+
+    return extract_batches
+
+
+def with_partition_key(df: DataFrame, n_partitions: int) -> DataFrame:
+    """Stable, content-derived partition key (resume key)."""
+    return df.withColumn(
+        "partition_key",
+        F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_partitions)).cast("int"),
+    )
+
+
+def plan_extraction(
+    df: DataFrame,
+    base_url: str,
+    run_id: str,
+    n_partitions: int,
+    heavy_threshold: int = DEFAULT_HEAVY_THRESHOLD,
+) -> DataFrame:
+    """Build the (lazy) extraction DataFrame with skew-aware routing."""
+    keyed = with_partition_key(df, n_partitions)
+    sized = keyed.withColumn("_doc_bytes", F.expr(_DOC_BYTES_EXPR))
+
+    light = (
+        sized.filter(F.col("_doc_bytes") <= heavy_threshold)
+        .drop("_doc_bytes")
+        .repartition(n_partitions, "partition_key")
+    )
+    # mega-docs: spread by doc_id so no hash partition accumulates
+    # several of them; each arrives in its own small Arrow batch
+    heavy = (
+        sized.filter(F.col("_doc_bytes") > heavy_threshold)
+        .drop("_doc_bytes")
+        .repartition(n_partitions, "doc_id")
+    )
+
+    extract = make_extract_batches(base_url, run_id)
+    return light.mapInArrow(extract, EXTRACTED_SCHEMA).unionByName(
+        heavy.mapInArrow(extract, EXTRACTED_SCHEMA)
+    )
+
+
+def lineage_from_output(extracted: DataFrame, started_at) -> DataFrame:
+    """Per-partition lineage: doc count, order-insensitive checksum,
+    wall time.  Pure DataFrame aggregation (map-side partial + final)."""
+    doc_hash = F.sha2(
+        F.concat_ws(
+            "\x1f", F.col("doc_id"), F.coalesce(F.to_json(F.col("spans")), F.lit(""))
+        ),
+        256,
+    )
+    return (
+        extracted.withColumn("_doc_hash", doc_hash)
+        .groupBy("run_id", "partition_key")
+        .agg(
+            F.count("*").alias("doc_count"),
+            F.sha2(F.concat_ws(",", F.sort_array(F.collect_list("_doc_hash"))), 256).alias(
+                "checksum"
+            ),
+            F.sum("wall_ms").alias("wall_ms"),
+        )
+        .withColumn("started_at", F.lit(started_at).cast("timestamp"))
+        .withColumn("finished_at", F.current_timestamp())
+        .withColumnRenamed("partition_key", "partition_id")
+    )
+
+
+def committed_keys(spark: SparkSession, lineage_path: str) -> DataFrame | None:
+    """Partition keys already committed by any previous run."""
+    try:
+        lineage = spark.read.parquet(lineage_path)
+    except Exception:  # noqa: BLE001 - first run: no lineage yet
+        return None
+    return lineage.select(F.col("partition_id").alias("partition_key")).distinct()
+
+
+def run_extraction(
+    spark: SparkSession,
+    documents: DataFrame,
+    output_path: str,
+    lineage_path: str,
+    base_url: str = "http://fakehost/test/page.html",
+    n_partitions: int | None = None,
+    run_id: str | None = None,
+    resume: bool = True,
+    heavy_threshold: int = DEFAULT_HEAVY_THRESHOLD,
+) -> str:
+    """Execute the extraction job; returns the run_id.
+
+    Commit protocol: output parquet is appended first; the lineage
+    append afterwards is the commit point.  A crash between the two
+    leaves orphan output rows which are ignored by resume (their keys
+    are absent from lineage) and deduplicated downstream by
+    ``(run_id, partition_key)`` — same shape as the Iceberg variant
+    where both appends share a transaction.
+    """
+    run_id = run_id or uuid.uuid4().hex[:12]
+    if n_partitions is None:
+        n_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    started_at = time.strftime("%Y-%m-%d %H:%M:%S", time.gmtime())
+
+    pending = with_partition_key(documents, n_partitions)
+    if resume:
+        done = committed_keys(spark, lineage_path)
+        if done is not None:
+            pending = pending.join(F.broadcast(done), "partition_key", "left_anti")
+    pending = pending.drop("partition_key")
+
+    extracted = plan_extraction(
+        pending, base_url, run_id, n_partitions, heavy_threshold
+    )
+    extracted.write.mode("append").parquet(output_path)
+
+    committed = spark.read.parquet(output_path).filter(F.col("run_id") == run_id)
+    lineage_from_output(committed, started_at).write.mode("append").parquet(
+        lineage_path
+    )
+    return run_id

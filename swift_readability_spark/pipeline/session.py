@@ -1,0 +1,58 @@
+"""SparkSession builder tuned for the extraction workload.
+
+Scale design (targets a 1000-executor cluster even though tests run on
+local[N]):
+
+- AQE on: post-shuffle coalescing + skew-join splitting re-plan the
+  shuffles the corpus layer introduces.
+- Arrow exchange on with a bounded records-per-batch so one Python
+  batch never holds more than a few documents (mega-doc protection —
+  a 100 MB document must not share a batch with 9 more).
+- shuffle.partitions sized by caller (cores at local scale; thousands
+  at cluster scale).
+- parquet maxPartitionBytes left at 128 MB: scan tasks stay
+  executor-memory-sized at any corpus size.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+ARROW_MAX_RECORDS_PER_BATCH = 64
+
+
+def build_session(
+    app_name: str = "swift-readability-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    cores = os.cpu_count() or 8
+    master = master or f"local[{cores}]"
+    if shuffle_partitions is None:
+        # at local scale: one shuffle partition per core; on a real
+        # cluster, pass ~2-3x total executor cores instead
+        n = master[master.find("[") + 1 : master.find("]")] if "[" in master else ""
+        shuffle_partitions = cores if n in ("", "*") else int(n)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            str(ARROW_MAX_RECORDS_PER_BATCH),
+        )
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
