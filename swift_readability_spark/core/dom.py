@@ -488,6 +488,10 @@ class _TreeBuilder(HTMLParser):
             self.mode = 1
         if self.mode == 1:
             html = self.stack[1]
+            if not any(
+                isinstance(c, Element) and c.tag == "head" for c in html.children
+            ):
+                html.append_child(Element("head"))
             body = None
             for c in html.children:
                 if isinstance(c, Element) and c.tag == "body":

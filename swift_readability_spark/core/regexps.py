@@ -66,7 +66,7 @@ AD_WORDS = re.compile(
     re.I,
 )
 LOADING_WORDS = re.compile(
-    "^((loading|\u6b63\u5728\u52a0\u8f7d|\u0417\u0430\u0433\u0440\u0443\u0437\u043a\u0430|chargement|cargando)(\u2026|\.\.\.)?)$",
+    "^((loading|\u6b63\u5728\u52a0\u8f7d|\u0417\u0430\u0433\u0440\u0443\u0437\u043a\u0430|chargement|cargando)(\u2026|\\.\\.\\.)?)$",
     re.I,
 )
 # image-file sniffing used by lazy-image / noscript handling

@@ -1,0 +1,161 @@
+"""Spark-level pipeline tests: extraction job, lineage, resume, skew
+routing.  Uses the deterministic synthetic corpus (conftest)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from swift_readability_spark.pipeline.job import (
+    lineage_from_output,
+    run_extraction,
+    with_partition_key,
+)
+
+N_PARTITIONS = 8
+
+
+@pytest.fixture(scope="module")
+def extracted(spark, corpus_dir, tmp_path_factory):
+    out = tmp_path_factory.mktemp("run")
+    docs = spark.read.parquet(corpus_dir + "/documents.parquet")
+    run_id = run_extraction(
+        spark,
+        docs,
+        str(out / "extracted"),
+        str(out / "lineage"),
+        n_partitions=N_PARTITIONS,
+    )
+    return {
+        "run_id": run_id,
+        "out": str(out),
+        "df": spark.read.parquet(str(out / "extracted")),
+        "lineage": spark.read.parquet(str(out / "lineage")),
+    }
+
+
+def test_every_document_extracted(spark, corpus_dir, extracted):
+    docs = spark.read.parquet(corpus_dir + "/documents.parquet")
+    assert extracted["df"].count() == docs.count()
+    assert extracted["df"].select("doc_id").distinct().count() == docs.count()
+
+
+def test_no_unexpected_errors(extracted):
+    errors = extracted["df"].filter(F.col("error").isNotNull()).count()
+    assert errors == 0
+
+
+def test_spark_matches_pure_python(spark, corpus_dir, extracted):
+    """The distributed result per document equals the single-process
+    core (determinism across the Arrow boundary)."""
+    from swift_readability_spark.extract import extract_document
+
+    rows = (
+        extracted["df"]
+        .filter(F.col("doc_id").isin("001", "syn-42-0", "syn-42-19"))
+        .collect()
+    )
+    docs = {
+        r["doc_id"]: r["spans"]
+        for r in spark.read.parquet(corpus_dir + "/documents.parquet")
+        .filter(F.col("doc_id").isin("001", "syn-42-0", "syn-42-19"))
+        .collect()
+    }
+    assert len(rows) == 3
+    for row in rows:
+        local = extract_document(
+            row["doc_id"],
+            [s.asDict() for s in docs[row["doc_id"]]],
+            "http://fakehost/test/page.html",
+        )
+        got = [(s["kind"], s["text"], s["media_ref"]) for s in local["spans"]]
+        want = [(s["kind"], s["text"], s["media_ref"]) for s in row["spans"]]
+        assert got == want
+        assert local["title"] == row["title"]
+
+
+def test_fixture_parity_through_spark(spark, corpus_dir, extracted):
+    """Golden-span equality for a fixture that went through the full
+    distributed path."""
+    from swift_readability_spark.spans.compare import compare_spans
+
+    got = extracted["df"].filter(F.col("doc_id") == "remove-script-tags").collect()[0]
+    exp = (
+        spark.read.parquet(corpus_dir + "/expected_spans.parquet")
+        .filter(F.col("doc_id") == "remove-script-tags")
+        .collect()[0]
+    )
+    mism = compare_spans(
+        [s.asDict() for s in got["spans"]], [s.asDict() for s in exp["spans"]]
+    )
+    assert mism == []
+
+
+def test_lineage_covers_all_partitions(extracted):
+    lineage = extracted["lineage"]
+    assert lineage.agg(F.sum("doc_count")).collect()[0][0] == extracted["df"].count()
+    keys = {r["partition_id"] for r in lineage.collect()}
+    assert keys <= set(range(N_PARTITIONS))
+
+
+def test_partition_key_stability(spark, corpus_dir):
+    docs = spark.read.parquet(corpus_dir + "/documents.parquet")
+    a = {r["doc_id"]: r["partition_key"] for r in with_partition_key(docs, 8).collect()}
+    b = {r["doc_id"]: r["partition_key"] for r in with_partition_key(docs, 8).collect()}
+    assert a == b
+
+
+def test_checksum_deterministic(spark, extracted):
+    l1 = lineage_from_output(extracted["df"], "2026-01-01 00:00:00")
+    l2 = lineage_from_output(extracted["df"], "2026-01-01 00:00:00")
+    c1 = {r["partition_id"]: r["checksum"] for r in l1.collect()}
+    c2 = {r["partition_id"]: r["checksum"] for r in l2.collect()}
+    assert c1 == c2
+
+
+def test_resume_skips_committed_and_completes(spark, corpus_dir, tmp_path_factory):
+    """Crash-resume semantics: a run that only committed some partition
+    keys is completed by a second run, and the union equals a
+    single-shot run (no duplicates, no gaps)."""
+    out = tmp_path_factory.mktemp("resume")
+    docs = spark.read.parquet(corpus_dir + "/documents.parquet")
+    keyed = with_partition_key(docs, N_PARTITIONS)
+
+    # simulate a run that died after committing keys {0..3}
+    partial = keyed.filter(F.col("partition_key") < 4).drop("partition_key")
+    run_extraction(
+        spark,
+        partial,
+        str(out / "extracted"),
+        str(out / "lineage"),
+        n_partitions=N_PARTITIONS,
+    )
+    committed_before = spark.read.parquet(str(out / "extracted")).count()
+    assert 0 < committed_before < docs.count()
+
+    # resume over the FULL input: only uncommitted keys are processed
+    run_extraction(
+        spark,
+        docs,
+        str(out / "extracted"),
+        str(out / "lineage"),
+        n_partitions=N_PARTITIONS,
+    )
+    final = spark.read.parquet(str(out / "extracted"))
+    assert final.count() == docs.count()
+    assert final.select("doc_id").distinct().count() == docs.count()
+
+    # third run: everything committed -> nothing new
+    run_extraction(
+        spark,
+        docs,
+        str(out / "extracted"),
+        str(out / "lineage"),
+        n_partitions=N_PARTITIONS,
+    )
+    assert spark.read.parquet(str(out / "extracted")).count() == docs.count()
+
+
+def test_mega_doc_flows_through_heavy_path(spark, corpus_dir, extracted):
+    """The synthetic mega-doc is present and non-trivially extracted."""
+    mega = extracted["df"].filter(F.col("doc_id") == "syn-42-19").collect()
+    assert len(mega) == 1
+    assert mega[0]["text_length"] > 100_000
