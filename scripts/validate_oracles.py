@@ -1,0 +1,109 @@
+#!/usr/bin/env python3
+"""Validate every operator query against its DuckDB oracle, mimicking
+the driver's CORRECTNESS check: row count + column names + an
+order-insensitive value hash."""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import duckdb
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def norm_cell(v):
+    import datetime
+    import math
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v:.6g}"
+    if isinstance(v, bool):
+        return str(bool(v)).lower()
+    if isinstance(v, datetime.datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S")
+    if isinstance(v, list):
+        return "[" + ",".join(norm_cell(x) for x in v) + "]"
+    return str(v)
+
+
+def rows_signature(cols, rows):
+    keyed = sorted("\x1f".join(norm_cell(r[c]) for c in cols) for r in rows)
+    import hashlib
+
+    return len(rows), hashlib.sha256("\n".join(keyed).encode()).hexdigest()
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--only", nargs="*")
+    args = ap.parse_args()
+
+    from swift_readability_spark.operators import registry
+    from swift_readability_spark.pipeline.session import build_session
+
+    spark = build_session(app_name="oracle-validate", master="local[8]", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf_dir}/{t}.parquet')"
+        )
+
+    reg = registry()
+    names = args.only or list(reg)
+    failures = 0
+    for name in names:
+        builder, oracle = reg[name]
+        try:
+            sdf = builder(spark, args.sf_dir)
+            scols = sorted(sdf.columns)
+            srows = [r.asDict() for r in sdf.collect()]
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: spark error: {str(e)[:200]}")
+            failures += 1
+            continue
+        if oracle is None:
+            print(f"ok   {name}: rows-only ({len(srows)} rows)")
+            continue
+        try:
+            res = con.execute(oracle)
+            dcols = [d[0] for d in res.description]
+            drows = [dict(zip(dcols, row)) for row in res.fetchall()]
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: duckdb error: {str(e)[:200]}")
+            failures += 1
+            continue
+        if scols != sorted(dcols):
+            print(f"FAIL {name}: columns {scols} vs {sorted(dcols)}")
+            failures += 1
+            continue
+        s_sig = rows_signature(scols, srows)
+        d_sig = rows_signature(scols, drows)
+        if s_sig != d_sig:
+            print(f"FAIL {name}: spark {s_sig} vs duckdb {d_sig}")
+            s_set = {"\x1f".join(norm_cell(r[c]) for c in scols) for r in srows}
+            d_set = {"\x1f".join(norm_cell(r[c]) for c in scols) for r in drows}
+            for x in list(s_set - d_set)[:3]:
+                print("   spark-only:", x[:160].replace("\x1f", " | "))
+            for x in list(d_set - s_set)[:3]:
+                print("   duck-only :", x[:160].replace("\x1f", " | "))
+            failures += 1
+        else:
+            print(f"ok   {name}: {s_sig[0]} rows match")
+    spark.stop()
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()

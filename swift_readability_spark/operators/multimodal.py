@@ -1,0 +1,110 @@
+"""Multimodal-column plumbing: opaque binary payloads with typed
+metadata, processed in Arrow-batched Pandas stages.
+
+The container has no image/audio codecs, so the actual decode is a
+clearly-marked stub (``decode_image_real`` raises NotImplementedError;
+``_fake_decode`` is a deterministic arithmetic stand-in).  Everything
+Spark-side — the binary column, the mapInPandas batch shape, the
+schema, the partition behavior — is real and oracle-checked where the
+stub arithmetic is SQL-expressible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .common import read
+
+
+def payload_features(spark, sf_dir):
+    """Binary payload stats, pure built-ins: byte length + sha256.
+    The payload is the utf-8 encoding of ``text`` (stand-in for an
+    image/audio blob column)."""
+    d = read(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.length(F.encode("text", "utf-8")).cast("bigint").alias("payload_bytes"),
+        F.sha2(F.col("text"), 256).alias("payload_sha256"),
+    )
+
+
+PAYLOAD_SQL = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
+       sha256(text) AS payload_sha256
+FROM documents
+"""
+
+
+def decode_image_real(payload: bytes) -> tuple[int, int]:
+    """Real decode path — requires an image codec, absent here."""
+    raise NotImplementedError(
+        "image decoding requires PIL/libvips, not available in this "
+        "environment; the pipeline uses the deterministic stub instead"
+    )
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int]:
+    """Deterministic stand-in for decode: 'dimensions' derived from the
+    byte length, 'frames' from the first byte."""
+    n = len(payload)
+    width = n % 1024
+    height = (n // 1024) % 1024
+    n_frames = (payload[0] % 8 + 1) if payload else 0
+    return width, height, n_frames
+
+
+_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+    ]
+)
+
+
+def media_decode_stub(spark, sf_dir):
+    """mapInPandas decode stage over the binary column: Arrow batches
+    in, feature rows out.  This is the exact plumbing a real
+    decode/resize/frame-sample stage uses — swap ``_fake_decode`` for
+    the codec call on a cluster with codecs installed."""
+    d = read(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+
+    def decode_batches(iterator):
+        import pandas as pd
+
+        for pdf in iterator:
+            decoded = [_fake_decode(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": [d[0] for d in decoded],
+                    "height": [d[1] for d in decoded],
+                    "n_frames": [d[2] for d in decoded],
+                }
+            )
+
+    return d.mapInPandas(decode_batches, _DECODE_SCHEMA)
+
+
+# the stub arithmetic is SQL-expressible, so even the Pandas stage gets
+# a full value oracle: ascii() of the first char == first utf-8 byte
+# for this ASCII corpus
+DECODE_STUB_SQL = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) % 1024 AS BIGINT) AS width,
+       CAST((octet_length(encode(text)) // 1024) % 1024 AS BIGINT) AS height,
+       CAST(CASE WHEN octet_length(encode(text)) = 0 THEN 0
+                 ELSE ascii(substr(text, 1, 1)) % 8 + 1 END AS BIGINT) AS n_frames
+FROM documents
+"""
+
+
+QUERIES = {
+    "payload_features": (payload_features, PAYLOAD_SQL),
+    "media_decode_stub": (media_decode_stub, DECODE_STUB_SQL),
+}

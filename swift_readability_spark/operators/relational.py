@@ -1,0 +1,274 @@
+"""Relational operator demos over the TPC-H-ish testdata.
+
+These exercise the corpus-layer operator classes from SURVEY.md §2
+(aggregation §2.3, top-k §2.4, joins §2.5, set ops §2.6) as native
+Catalyst plans: map-side partial aggregation, broadcast joins for the
+small dimensions, window top-k, anti/semi joins (the resume-filter
+shape from §2.1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .common import read
+
+
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: wide hash aggregation with partial/final stages
+    (the reference's score-aggregation analogue at corpus scale)."""
+    l = read(spark, sf_dir, "lineitem")
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                              AS sum_qty,
+       round(sum(l_extendedprice), 2)                         AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)      AS sum_disc_price,
+       round(avg(l_quantity), 4)                              AS avg_qty,
+       round(avg(l_discount), 4)                              AS avg_disc,
+       count(*)                                               AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark, sf_dir):
+    """Join + aggregate + deterministic top-10 (sort/limit)."""
+    c = read(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = read(spark, sf_dir, "orders")
+    l = read(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT l_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q5_nation_revenue(spark, sf_dir):
+    """Five-way join with broadcast dimension chain (region/nation/
+    supplier are tiny: no shuffle for them)."""
+    r = read(spark, sf_dir, "region")
+    n = read(spark, sf_dir, "nation")
+    s = read(spark, sf_dir, "supplier")
+    l = read(spark, sf_dir, "lineitem")
+    return (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("line_count"),
+        )
+    )
+
+
+Q5_SQL = """
+SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS line_count
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def top3_orders_per_customer(spark, sf_dir):
+    """The canonical top-k window (SURVEY §2.4: nbTopCandidates
+    selection re-expressed as row_number over a partition)."""
+    o = read(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("totalprice"), "rank")
+    )
+
+
+TOP3_SQL = """
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice, rank
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+  FROM orders
+) WHERE rank <= 3
+"""
+
+
+def customers_without_orders(spark, sf_dir):
+    """Left-anti join — the checkpoint-resume filter shape (§2.1)."""
+    c = read(spark, sf_dir, "customer")
+    o = read(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+ANTI_SQL = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def big_spender_customers(spark, sf_dir):
+    """Semi-join + aggregate subquery."""
+    c = read(spark, sf_dir, "customer")
+    o = read(spark, sf_dir, "orders")
+    big = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("spend")).filter(
+        F.col("spend") > 300000
+    )
+    return (
+        c.join(big, c.c_custkey == big.o_custkey, "left_semi")
+        .select("c_custkey", "c_mktsegment")
+    )
+
+
+SEMI_SQL = """
+SELECT c_custkey, c_mktsegment
+FROM customer
+WHERE c_custkey IN (
+  SELECT o_custkey FROM orders GROUP BY o_custkey HAVING sum(o_totalprice) > 300000
+)
+"""
+
+
+def events_daily_by_type(spark, sf_dir):
+    """Date-bucketed aggregation (streaming-style tumbling day window
+    in batch form)."""
+    e = read(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.to_date(F.col("ts")).alias("day"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+EVENTS_DAILY_SQL = """
+SELECT CAST(ts AS DATE) AS day, event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def running_user_value(spark, sf_dir):
+    """Ordered running aggregate per user (window frame)."""
+    e = read(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(w), 2).alias("running_value"),
+    )
+
+
+RUNNING_SQL = """
+SELECT user_id, event_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+       AS running_value
+FROM events
+"""
+
+
+def order_priority_histogram(spark, sf_dir):
+    o = read(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(F.count("*").alias("n_orders"))
+
+
+PRIORITY_SQL = """
+SELECT o_orderpriority, count(*) AS n_orders FROM orders GROUP BY o_orderpriority
+"""
+
+
+def part_type_stats(spark, sf_dir):
+    """Grouping + multiple aggregates + having-style filter."""
+    p = read(spark, sf_dir, "part")
+    return (
+        p.groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.round(F.avg("p_retailprice"), 2).alias("avg_price"),
+            F.max("p_size").alias("max_size"),
+        )
+        .filter(F.col("n_parts") > 5)
+    )
+
+
+PART_SQL = """
+SELECT p_brand, count(*) AS n_parts,
+       round(avg(p_retailprice), 2) AS avg_price,
+       max(p_size) AS max_size
+FROM part
+GROUP BY p_brand
+HAVING count(*) > 5
+"""
+
+
+QUERIES = {
+    "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
+    "q5_nation_revenue": (q5_nation_revenue, Q5_SQL),
+    "top3_orders_per_customer": (top3_orders_per_customer, TOP3_SQL),
+    "customers_without_orders": (customers_without_orders, ANTI_SQL),
+    "big_spender_customers": (big_spender_customers, SEMI_SQL),
+    "events_daily_by_type": (events_daily_by_type, EVENTS_DAILY_SQL),
+    "running_user_value": (running_user_value, RUNNING_SQL),
+    "order_priority_histogram": (order_priority_histogram, PRIORITY_SQL),
+    "part_type_stats": (part_type_stats, PART_SQL),
+}

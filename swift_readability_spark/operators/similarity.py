@@ -1,0 +1,175 @@
+"""Similarity search over the ``embeddings`` table.
+
+Brute-force cosine top-k is the correctness baseline; the IVF variant
+(coarse centroids as a partition prune) is the scale path: at 10^9+
+vectors the centroid assignment is a broadcast join (centroid table is
+tiny) and only the probed cell is scanned — the same plan shape Spark
+would execute cluster-wide with the cell as partition key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .common import read
+
+_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+    " 0D, (acc, v) -> acc + v)"
+)
+_NORM = (
+    "sqrt(aggregate(transform({v}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+    " 0D, (acc, v) -> acc + v))"
+)
+
+QUERY_VEC_ID = 0
+TOP_K = 10
+
+
+def ann_bruteforce_topk(spark, sf_dir):
+    """Exact cosine top-10 neighbours of vec_id=0 (broadcast the query
+    vector; single scan + TakeOrdered — no shuffle of the corpus)."""
+    e = read(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qvec")
+    )
+    cos = F.expr(_DOT.format(a="embedding", b="qvec")) / (
+        F.expr(_NORM.format(v="embedding")) * F.expr(_NORM.format(v="qvec"))
+    )
+    return (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .withColumn("cosine", F.round(cos, 4))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(TOP_K)
+        .select("vec_id", "label", "cosine")
+    )
+
+
+_D_DOT = (
+    "list_reduce(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i]),"
+    " (x, y) -> x + y)"
+)
+_D_NORM = "sqrt(list_reduce(list_transform({v}, x -> x * x), (x, y) -> x + y))"
+
+ANN_BRUTE_SQL = f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+q AS (SELECT emb AS qvec FROM e WHERE vec_id = {QUERY_VEC_ID})
+SELECT vec_id, label,
+       round({_D_DOT.format(a='emb', b='qvec')}
+             / ({_D_NORM.format(v='emb')} * {_D_NORM.format(v='qvec')}), 4) AS cosine
+FROM e, q
+WHERE vec_id != {QUERY_VEC_ID}
+ORDER BY cosine DESC, vec_id ASC
+LIMIT {TOP_K}
+"""
+
+
+def ivf_centroids(spark, sf_dir):
+    """Coarse quantizer: per-label mean vector (the IVF cell list).
+    posexplode -> per-dimension mean -> re-assembled ordered array."""
+    e = read(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("v"), 4).alias("mean_v"))
+        .groupBy("label")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, mean_v))), s -> s.mean_v)"
+            ).alias("centroid")
+        )
+        .select("label", F.expr("round(aggregate(centroid, 0D, (a, v) -> a + v), 4)").alias("centroid_sum"))
+    )
+
+
+IVF_CENTROIDS_SQL = """
+WITH d AS (
+  SELECT label, generate_subscripts(embedding, 1) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+m AS (SELECT label, pos, round(avg(v), 4) AS mean_v FROM d GROUP BY label, pos)
+SELECT label,
+       round(list_reduce(list(mean_v ORDER BY pos), (a, b) -> a + b), 4) AS centroid_sum
+FROM m
+GROUP BY label
+"""
+
+
+def ann_ivf_topk(spark, sf_dir):
+    """IVF-style search: assign the query to its nearest coarse
+    centroid (per-label mean), then exact top-10 within that cell only."""
+    e = read(spark, sf_dir, "embeddings")
+    exploded = (
+        e.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.avg("v").alias("mean_v"))
+        .groupBy("label")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, mean_v))), s -> CAST(s.mean_v AS DOUBLE))"
+            ).alias("centroid")
+        )
+    )
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qvec")
+    )
+    cent_cos = F.expr(_DOT.format(a="centroid", b="qvec")) / (
+        F.expr(_NORM.format(v="centroid")) * F.expr(_NORM.format(v="qvec"))
+    )
+    best_label = (
+        exploded.crossJoin(F.broadcast(q))
+        .withColumn("cc", cent_cos)
+        .orderBy(F.desc("cc"), F.asc("label"))
+        .limit(1)
+        .select("label")
+    )
+    cos = F.expr(_DOT.format(a="embedding", b="qvec")) / (
+        F.expr(_NORM.format(v="embedding")) * F.expr(_NORM.format(v="qvec"))
+    )
+    return (
+        e.join(F.broadcast(best_label), "label")
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .withColumn("cosine", F.round(cos, 4))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(TOP_K)
+        .select("vec_id", "label", "cosine")
+    )
+
+
+ANN_IVF_SQL = f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+d AS (
+  SELECT label, generate_subscripts(emb, 1) AS pos, unnest(emb) AS v FROM e
+),
+cent AS (
+  SELECT label, list(mean_v ORDER BY pos) AS centroid
+  FROM (SELECT label, pos, avg(v) AS mean_v FROM d GROUP BY label, pos)
+  GROUP BY label
+),
+q AS (SELECT emb AS qvec FROM e WHERE vec_id = {QUERY_VEC_ID}),
+best AS (
+  SELECT label
+  FROM cent, q
+  ORDER BY {_D_DOT.format(a='centroid', b='qvec')}
+           / ({_D_NORM.format(v='centroid')} * {_D_NORM.format(v='qvec')}) DESC,
+           label ASC
+  LIMIT 1
+)
+SELECT vec_id, e.label AS label,
+       round({_D_DOT.format(a='emb', b='qvec')}
+             / ({_D_NORM.format(v='emb')} * {_D_NORM.format(v='qvec')}), 4) AS cosine
+FROM e JOIN best ON e.label = best.label, q
+WHERE vec_id != {QUERY_VEC_ID}
+ORDER BY cosine DESC, vec_id ASC
+LIMIT {TOP_K}
+"""
+
+
+QUERIES = {
+    "ann_bruteforce_topk": (ann_bruteforce_topk, ANN_BRUTE_SQL),
+    "ivf_centroids": (ivf_centroids, IVF_CENTROIDS_SQL),
+    "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_SQL),
+}

@@ -1,0 +1,270 @@
+"""Text-analysis operators over the ``documents`` table: the
+readability scoring heuristics re-expressed as columnar SQL (SURVEY.md
+§2.3/§2.7 demo queries) plus the training-data-pipeline text metrics
+(language ID, quality scoring, token counting, fingerprinting).
+
+Everything is built-in-function only: whole-stage codegen end to end,
+no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .common import read
+
+
+def comma_score(spark, sf_dir):
+    """The element content score (ArticleGrabber.swift:770-801):
+    1 (base) + commas+1 + min(floor(len/100), 3)."""
+    d = read(spark, sf_dir, "documents")
+    commas = F.length("text") - F.length(F.regexp_replace("text", ",", ""))
+    return d.select(
+        "doc_id",
+        (
+            F.lit(2)
+            + commas
+            + F.least(F.floor(F.length("text") / 100), F.lit(3))
+        ).cast("bigint").alias("content_score"),
+    )
+
+
+COMMA_SCORE_SQL = """
+SELECT doc_id,
+       CAST(2 + (length(text) - length(replace(text, ',', '')))
+              + least(CAST(floor(length(text) / 100) AS BIGINT), 3) AS BIGINT)
+       AS content_score
+FROM documents
+"""
+
+
+def class_weight(spark, sf_dir):
+    """±25 class/id weighting (ArticleGrabber.swift:853-867) applied to
+    the ``source`` column as the class-name analogue."""
+    d = read(spark, sf_dir, "documents")
+    positive = (
+        "article|body|content|entry|hentry|h-entry|main|page|pagination|post|"
+        "text|blog|story"
+    )
+    negative = (
+        "-ad-|hidden|banner|combx|comment|com-|contact|footer|gdpr|masthead|"
+        "media|meta|outbrain|promo|related|scroll|share|shoutbox|sidebar|"
+        "skyscraper|sponsor|shopping|tags|widget"
+    )
+    w = (
+        F.when(F.col("source").rlike(negative), -25).otherwise(0)
+        + F.when(F.col("source").rlike(positive), 25).otherwise(0)
+    )
+    return d.select("doc_id", w.cast("bigint").alias("class_weight"))
+
+
+CLASS_WEIGHT_SQL = """
+SELECT doc_id,
+       CAST((CASE WHEN regexp_matches(source, '-ad-|hidden|banner|combx|comment|com-|contact|footer|gdpr|masthead|media|meta|outbrain|promo|related|scroll|share|shoutbox|sidebar|skyscraper|sponsor|shopping|tags|widget') THEN -25 ELSE 0 END)
+          + (CASE WHEN regexp_matches(source, 'article|body|content|entry|hentry|h-entry|main|page|pagination|post|text|blog|story') THEN 25 ELSE 0 END) AS BIGINT)
+       AS class_weight
+FROM documents
+"""
+
+
+def readerable_score(spark, sf_dir):
+    """The readerable heuristic (Readability.swift:234-308):
+    sqrt(len - 140) accumulated, thresholded at 20 — here per document
+    over its character count."""
+    d = read(spark, sf_dir, "documents")
+    score = F.when(
+        F.col("n_chars") >= 140, F.sqrt(F.col("n_chars") - 140)
+    ).otherwise(F.lit(0.0))
+    return d.select(
+        "doc_id",
+        F.round(score, 4).alias("readerable_score"),
+        (score > 20).alias("readerable"),
+    )
+
+
+READERABLE_SQL = """
+SELECT doc_id,
+       round(CASE WHEN n_chars >= 140 THEN sqrt(n_chars - 140) ELSE 0.0 END, 4)
+         AS readerable_score,
+       (CASE WHEN n_chars >= 140 THEN sqrt(n_chars - 140) ELSE 0.0 END) > 20
+         AS readerable
+FROM documents
+"""
+
+
+def normalized_text_length(spark, sf_dir):
+    """getInnerText whitespace collapse (ProcessorBase.swift:49-56):
+    trim + \\s{2,} -> ' ', then count chars."""
+    d = read(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.length(F.trim(F.regexp_replace("text", r"\s{2,}", " "))).alias(
+            "norm_length"
+        ),
+    )
+
+
+NORM_LENGTH_SQL = """
+SELECT doc_id,
+       length(trim(regexp_replace(text, '\\s{2,}', ' ', 'g'))) AS norm_length
+FROM documents
+"""
+
+
+def token_counts(spark, sf_dir):
+    """Whitespace tokens plus a BPE-ish regex token count
+    (word pieces + punctuation as separate tokens)."""
+    d = read(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("bigint").alias("ws_tokens"),
+        F.size(
+            F.expr(r"regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]', 0)")
+        ).cast("bigint").alias("regex_tokens"),
+    )
+
+
+TOKEN_COUNTS_SQL = """
+SELECT doc_id,
+       CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
+         AS regex_tokens
+FROM documents
+"""
+
+
+def quality_score(spark, sf_dir):
+    """Composite document-quality heuristics: length, mean word length,
+    stopword ratio, punctuation density."""
+    d = read(spark, sf_dir, "documents")
+    words = F.split(F.trim("text"), r"\s+")
+    n_words = F.size(words).cast("double")
+    stop_re = r"\\b(the|a|an|and|or|of|to|in|is|it)\\b"
+    n_stop = F.size(F.expr(rf"regexp_extract_all(lower(text), '{stop_re}', 0)")).cast(
+        "double"
+    )
+    n_punct = F.size(F.expr(r"regexp_extract_all(text, '[.,;:!?]', 0)")).cast("double")
+    mean_word_len = F.length(F.regexp_replace("text", r"\s+", "")) / n_words
+    return d.select(
+        "doc_id",
+        F.round(mean_word_len, 4).alias("mean_word_len"),
+        F.round(n_stop / n_words, 4).alias("stopword_ratio"),
+        F.round(n_punct / F.length("text"), 6).alias("punct_density"),
+        F.round(
+            F.least(F.col("n_chars") / 1000.0, F.lit(1.0)) * 0.4
+            + F.least(n_stop / n_words * 5.0, F.lit(1.0)) * 0.4
+            + (1.0 - F.least(n_punct / F.length("text") * 20.0, F.lit(1.0))) * 0.2,
+            4,
+        ).alias("quality"),
+    )
+
+
+QUALITY_SQL = """
+WITH f AS (
+  SELECT doc_id, text, n_chars,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS n_words,
+         CAST(len(regexp_extract_all(lower(text), '\\b(the|a|an|and|or|of|to|in|is|it)\\b')) AS DOUBLE) AS n_stop,
+         CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) AS n_punct
+  FROM documents
+)
+SELECT doc_id,
+       round(length(regexp_replace(text, '\\s+', '', 'g')) / n_words, 4) AS mean_word_len,
+       round(n_stop / n_words, 4) AS stopword_ratio,
+       round(n_punct / length(text), 6) AS punct_density,
+       round(least(n_chars / 1000.0, 1.0) * 0.4
+             + least(n_stop / n_words * 5.0, 1.0) * 0.4
+             + (1.0 - least(n_punct / length(text) * 20.0, 1.0)) * 0.2, 4) AS quality
+FROM f
+"""
+
+
+_LANG_MARKERS = {
+    "en": r"\\b(the|and|of|to|is|with)\\b",
+    "de": r"\\b(der|die|das|und|ist|mit)\\b",
+    "fr": r"\\b(le|la|les|et|est|avec)\\b",
+    "es": r"\\b(el|los|las|es|con|para)\\b",
+}
+
+
+def lang_id(spark, sf_dir):
+    """N-gram/stopword-marker language ID: argmax of per-language
+    marker counts, 'und' when nothing matches (deterministic
+    tie-break by language code)."""
+    d = read(spark, sf_dir, "documents")
+    cols = []
+    for code, pattern in _LANG_MARKERS.items():
+        cols.append(
+            F.size(F.expr(rf"regexp_extract_all(lower(text), '{pattern}', 0)")).alias(
+                f"n_{code}"
+            )
+        )
+    scored = d.select("doc_id", "lang", *cols)
+    best = F.greatest(*[F.col(f"n_{c}") for c in _LANG_MARKERS])
+    pred = F.when(best <= 0, F.lit("und"))
+    for code in sorted(_LANG_MARKERS):
+        pred = pred.when(F.col(f"n_{code}") == best, F.lit(code))
+    return scored.select("doc_id", "lang", pred.alias("lang_pred"))
+
+
+LANG_ID_SQL = """
+WITH m AS (
+  SELECT doc_id, lang,
+         len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is|with)\\b'))   AS n_en,
+         len(regexp_extract_all(lower(text), '\\b(der|die|das|und|ist|mit)\\b')) AS n_de,
+         len(regexp_extract_all(lower(text), '\\b(le|la|les|et|est|avec)\\b'))   AS n_fr,
+         len(regexp_extract_all(lower(text), '\\b(el|los|las|es|con|para)\\b'))  AS n_es
+  FROM documents
+)
+SELECT doc_id, lang,
+       CASE WHEN greatest(n_en, n_de, n_fr, n_es) <= 0 THEN 'und'
+            WHEN n_de = greatest(n_en, n_de, n_fr, n_es) THEN 'de'
+            WHEN n_en = greatest(n_en, n_de, n_fr, n_es) THEN 'en'
+            WHEN n_es = greatest(n_en, n_de, n_fr, n_es) THEN 'es'
+            ELSE 'fr' END AS lang_pred
+FROM m
+"""
+
+
+def doc_fingerprint(spark, sf_dir):
+    """Rolling-hash document fingerprint: minimum md5 over the
+    document's 16-char sliding windows (winnowing-style), plus a whole-
+    document content hash."""
+    d = read(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    return (
+        d.withColumn("norm", norm)
+        .withColumn("min_gram_hash", F.array_min(F.expr(
+            "transform(transform(sequence(1, greatest(length(norm) - 15, 1)),"
+            " i -> substring(norm, i, 16)), g -> md5(g))"
+        )))
+        .select(
+            "doc_id",
+            F.md5("norm").alias("content_md5"),
+            F.col("min_gram_hash").alias("fingerprint"),
+        )
+    )
+
+
+FINGERPRINT_SQL = """
+WITH n AS (
+  SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
+  FROM documents
+)
+SELECT doc_id,
+       md5(norm) AS content_md5,
+       list_min([md5(substr(norm, i, 16)) FOR i IN range(1, greatest(length(norm) - 15, 1) + 1)])
+         AS fingerprint
+FROM n
+"""
+
+
+QUERIES = {
+    "comma_score": (comma_score, COMMA_SCORE_SQL),
+    "class_weight": (class_weight, CLASS_WEIGHT_SQL),
+    "readerable_score": (readerable_score, READERABLE_SQL),
+    "normalized_text_length": (normalized_text_length, NORM_LENGTH_SQL),
+    "token_counts": (token_counts, TOKEN_COUNTS_SQL),
+    "quality_score": (quality_score, QUALITY_SQL),
+    "lang_id": (lang_id, LANG_ID_SQL),
+    "doc_fingerprint": (doc_fingerprint, FINGERPRINT_SQL),
+}
