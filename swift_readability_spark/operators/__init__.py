@@ -8,9 +8,9 @@ broadcasts for small dimensions, window top-k, no Python UDFs except
 the clearly-marked Arrow-batch stages.
 """
 
-from . import dedup, multimodal, relational, similarity, text
+from . import dedup, extraction, multimodal, relational, similarity, text
 
-ALL_MODULES = (relational, text, dedup, similarity, multimodal)
+ALL_MODULES = (relational, text, dedup, similarity, multimodal, extraction)
 
 
 def registry():

@@ -1,0 +1,136 @@
+"""The flagship operator: full readability extraction over an
+interleaved spans corpus — with a *value-checked* oracle.
+
+The driver's testdata has no spans table, so we construct one
+deterministically from ``documents``: each row becomes an HTML page
+(title/author/description metadata + the text split into paragraphs),
+segmented into interleaved text/media spans (every third document gets
+a media span).  Because the construction is closed-form, the expected
+extraction output (title, byline, excerpt, lang, text length,
+readerable score) is computable in pure SQL — so even the Arrow-batch
+extraction stage gets a DuckDB value oracle, not just a row count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..pipeline.job import plan_extraction
+from .common import read
+
+_HTML_HEAD = (
+    "'<html lang=\"' || lang || '\"><head><title>Doc ' || doc_id || '</title>"
+    "<meta name=\"author\" content=\"Author ' || doc_id || '\">"
+    "<meta property=\"og:description\" content=\"Synthetic document ' || doc_id || '\">"
+    "</head><body><div class=\"content\"><p>' || "
+    "replace(text, '. ', '.</p><p>') || '</p>'"
+)
+_HTML_TAIL = "'</div></body></html>'"
+_MEDIA_REF = "'http://fakehost/media/img-' || doc_id || '.jpg'"
+
+
+def interleaved_documents(spark, sf_dir, partitions: int | None = None):
+    """documents -> (doc_id, spans) in the BASELINE input_hint shape.
+
+    ``partitions`` pre-spreads the base table so the HTML construction
+    runs in parallel even when the source is a single parquet file
+    (otherwise the map stage feeding the extraction shuffle is serial).
+    """
+    d = read(spark, sf_dir, "documents")
+    if partitions:
+        d = d.repartition(partitions)
+    return d.selectExpr(
+        "CAST(doc_id AS STRING) AS doc_id",
+        f"""
+        CASE WHEN doc_id % 3 = 0 THEN array(
+            named_struct('kind', 'text', 'text', {_HTML_HEAD},
+                         'media_ref', CAST(NULL AS STRING), 'offset', 0),
+            named_struct('kind', 'media', 'text', CAST(NULL AS STRING),
+                         'media_ref', {_MEDIA_REF}, 'offset', 1),
+            named_struct('kind', 'text', 'text', {_HTML_TAIL},
+                         'media_ref', CAST(NULL AS STRING), 'offset', 2))
+        ELSE array(
+            named_struct('kind', 'text', 'text', {_HTML_HEAD} || {_HTML_TAIL},
+                         'media_ref', CAST(NULL AS STRING), 'offset', 0))
+        END AS spans
+        """,
+    )
+
+
+def _extracted(spark, sf_dir):
+    docs = interleaved_documents(spark, sf_dir)
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return plan_extraction(
+        docs, "http://fakehost/test/page.html", run_id="entry", n_partitions=n
+    )
+
+
+def extract_metadata(spark, sf_dir):
+    """Readability extraction (metadata view) — value-oracle-checked."""
+    return _extracted(spark, sf_dir).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "title",
+        "byline",
+        "lang",
+        "excerpt",
+        F.col("text_length").cast("bigint").alias("text_length"),
+        "readerable",
+        F.col("error").isNotNull().alias("failed"),
+    )
+
+
+EXTRACT_METADATA_SQL = """
+WITH base AS (
+  SELECT doc_id, lang, n_chars, text,
+         string_split(text, '. ') AS parts,
+         (length(text) - length(replace(text, '. ', ''))) / 2 AS n_splits
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, lang, n_chars, n_splits,
+         [CASE WHEN i < len(parts) THEN length(parts[i]) + 1
+               ELSE length(parts[i]) END
+          FOR i IN range(1, len(parts) + 1)] AS para_lens
+  FROM base
+)
+SELECT doc_id,
+       'Doc ' || doc_id AS title,
+       'Author ' || doc_id AS byline,
+       lang,
+       'Synthetic document ' || doc_id AS excerpt,
+       CAST(n_chars - n_splits AS BIGINT) AS text_length,
+       list_reduce(list_transform(para_lens,
+                                  l -> CASE WHEN l >= 140 THEN sqrt(l - 140)
+                                            ELSE 0.0 END),
+                   (a, b) -> a + b) > 20 AS readerable,
+       false AS failed
+FROM scored
+"""
+
+
+def extract_spans_stats(spark, sf_dir):
+    """Span-level output stats of the extraction (rows-only check: the
+    span *content* is gated by the fixture pytest suite instead)."""
+    out = _extracted(spark, sf_dir)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.size("spans").cast("bigint").alias("n_spans"),
+        F.expr("size(filter(spans, s -> s.kind = 'media'))")
+        .cast("bigint")
+        .alias("n_media_spans"),
+        F.expr(
+            "aggregate(spans, 0L, (acc, s) -> acc + coalesce(length(s.text), 0))"
+        ).alias("total_markup_chars"),
+    )
+
+
+# every doc keeps one media span iff doc_id % 3 = 0 (the constructed
+# media sits inside the kept content div), so even the span skeleton is
+# SQL-predictable:
+EXTRACT_SPANS_STATS_SQL = None  # rows-only: markup char counts depend on serializer
+
+
+QUERIES = {
+    "extract_metadata": (extract_metadata, EXTRACT_METADATA_SQL),
+    "extract_spans_stats": (extract_spans_stats, EXTRACT_SPANS_STATS_SQL),
+}

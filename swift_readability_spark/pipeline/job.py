@@ -95,10 +95,12 @@ _ARROW_OUT = pa.schema(
     ]
 )
 
-# payload size (bytes of text+refs) above which a document is routed to
-# the dedicated heavy path; at 10^12-doc scale this is the knob that
-# keeps the p99 task time flat under heavy-tailed document sizes
-DEFAULT_HEAVY_THRESHOLD = 1 << 21  # 2 MiB
+# payload size (chars of text+refs) above which a document is routed to
+# the dedicated heavy route; at 10^12-doc scale this is the knob that
+# keeps the p99 task time flat under heavy-tailed document sizes.
+# 256 KiB x 256 records/Arrow-batch bounds a light-path batch at
+# ~64 MiB of payload.
+DEFAULT_HEAVY_THRESHOLD = 1 << 18  # 256 KiB
 
 _DOC_BYTES_EXPR = (
     "aggregate(spans, 0L, (acc, s) -> acc"
@@ -164,27 +166,27 @@ def plan_extraction(
     n_partitions: int,
     heavy_threshold: int = DEFAULT_HEAVY_THRESHOLD,
 ) -> DataFrame:
-    """Build the (lazy) extraction DataFrame with skew-aware routing."""
-    keyed = with_partition_key(df, n_partitions)
-    sized = keyed.withColumn("_doc_bytes", F.expr(_DOC_BYTES_EXPR))
+    """Build the (lazy) extraction DataFrame with skew-aware routing.
 
-    light = (
-        sized.filter(F.col("_doc_bytes") <= heavy_threshold)
-        .drop("_doc_bytes")
-        .repartition(n_partitions, "partition_key")
-    )
-    # mega-docs: spread by doc_id so no hash partition accumulates
-    # several of them; each arrives in its own small Arrow batch
-    heavy = (
-        sized.filter(F.col("_doc_bytes") > heavy_threshold)
-        .drop("_doc_bytes")
-        .repartition(n_partitions, "doc_id")
-    )
+    One scan, one shuffle: the route key is the stable partition key
+    for normal documents, but mega-docs get a per-document route key so
+    they spread uniformly instead of piling onto hash partitions
+    shared with thousands of small docs.  (Two filtered branches would
+    scan the source twice — fatal at 100 TB.)  The lineage/resume key
+    (``partition_key``) is a *column*, independent of physical
+    placement, so routing never affects resume semantics.
+    """
+    keyed = with_partition_key(df, n_partitions)
+    routed = keyed.withColumn(
+        "_route_key",
+        F.when(
+            F.expr(_DOC_BYTES_EXPR) > heavy_threshold,
+            F.concat(F.lit("H:"), F.col("doc_id")),
+        ).otherwise(F.concat(F.lit("L:"), F.col("partition_key"))),
+    ).repartition(n_partitions, "_route_key").drop("_route_key")
 
     extract = make_extract_batches(base_url, run_id)
-    return light.mapInArrow(extract, EXTRACTED_SCHEMA).unionByName(
-        heavy.mapInArrow(extract, EXTRACTED_SCHEMA)
-    )
+    return routed.mapInArrow(extract, EXTRACTED_SCHEMA)
 
 
 def lineage_from_output(extracted: DataFrame, started_at) -> DataFrame:

@@ -20,7 +20,13 @@ import os
 
 from pyspark.sql import SparkSession
 
-ARROW_MAX_RECORDS_PER_BATCH = 64
+# Records per Arrow batch crossing the JVM<->Python boundary.  Too
+# small and per-batch round-trip overhead dominates (64 measured ~3x
+# slower than 512 on the extraction stage); too large and a batch of
+# big documents blows worker memory.  256 x heavy-threshold (256 KiB)
+# bounds a light-path batch at ~64 MiB; mega-docs are routed to their
+# own partitions where a batch holds only a handful of rows.
+ARROW_MAX_RECORDS_PER_BATCH = 256
 
 
 def build_session(
