@@ -68,10 +68,19 @@ HEAD_ONLY_TAGS = frozenset("title base link meta style script noscript template"
 TABLE_SECTIONS = frozenset(("tbody", "thead", "tfoot"))
 
 
+# Global mutation epoch: bumped on every tree mutation.  Per-node text
+# caches are valid only for the epoch they were computed in — the same
+# conservative invalidation scheme as the reference's mutation-version
+# tokens (Helpers.swift:20-25, ArticleGrabber.swift:173-176).
+_EPOCH = [0]
+
+
 class Node:
     __slots__ = ("parent",)
 
     parent: "Element | None"
+    IS_ELEMENT = False
+    IS_TEXT = False
 
     # -- generic tree ops -------------------------------------------------
     def remove(self) -> None:
@@ -79,6 +88,7 @@ class Node:
         if p is not None:
             p.children.remove(self)
             self.parent = None
+            _EPOCH[0] += 1
 
     @property
     def next_sibling(self) -> "Node | None":
@@ -112,6 +122,8 @@ class Node:
 class TextNode(Node):
     __slots__ = ("data",)
 
+    IS_TEXT = True
+
     def __init__(self, data: str):
         self.parent = None
         self.data = data
@@ -142,13 +154,21 @@ class Comment(Node):
 
 
 class Element(Node):
-    __slots__ = ("tag", "attrs", "children", "readability", "_data_table")
+    __slots__ = (
+        "tag", "attrs", "children", "readability", "_data_table",
+        "_c_epoch", "_c_text", "_c_inner",
+    )
+
+    IS_ELEMENT = True
 
     def __init__(self, tag: str, attrs: dict[str, str] | None = None):
         self.parent = None
         self.tag = tag
         self.attrs: dict[str, str] = attrs if attrs is not None else {}
         self.children: list[Node] = []
+        self._c_epoch = -1
+        self._c_text = None
+        self._c_inner = None
         # per-node extraction state (content score dict / data-table mark);
         # plays the role of the reference's identity-keyed side tables
         # (ArticleGrabber.swift:171-176)
@@ -190,6 +210,7 @@ class Element(Node):
             node.remove()
         node.parent = self
         self.children.append(node)
+        _EPOCH[0] += 1
 
     def insert_before(self, node: Node, ref: Node | None) -> None:
         if node.parent is not None:
@@ -199,6 +220,7 @@ class Element(Node):
             self.children.append(node)
         else:
             self.children.insert(self.children.index(ref), node)
+        _EPOCH[0] += 1
 
     def replace_child(self, new: Node, old: Node) -> None:
         idx = self.children.index(old)
@@ -207,6 +229,7 @@ class Element(Node):
         new.parent = self
         self.children[idx] = new
         old.parent = None
+        _EPOCH[0] += 1
 
     @property
     def first_child(self) -> Node | None:
@@ -258,23 +281,52 @@ class Element(Node):
         while stack:
             node = stack.pop()
             yield node
-            if isinstance(node, Element):
+            if node.IS_ELEMENT:
                 stack.extend(reversed(node.children))
 
     def get_elements_by_tag(self, *tags: str) -> list["Element"]:
         out = []
-        for node in self.iter_subtree():
-            if isinstance(node, Element) and node.tag in tags:
-                out.append(node)
+        stack = list(reversed(self.children))
+        pop = stack.pop
+        extend = stack.extend
+        while stack:
+            node = pop()
+            if node.IS_ELEMENT:
+                if node.tag in tags:
+                    out.append(node)
+                extend(reversed(node.children))
         return out
 
     @property
     def text_content(self) -> str:
+        ep = _EPOCH[0]
+        if self._c_epoch == ep:
+            return self._c_text
         parts = []
-        for node in self.iter_subtree():
-            if isinstance(node, TextNode):
+        stack = list(reversed(self.children))
+        pop = stack.pop
+        extend = stack.extend
+        while stack:
+            node = pop()
+            if node.IS_TEXT:
                 parts.append(node.data)
-        return "".join(parts)
+            elif node.IS_ELEMENT:
+                extend(reversed(node.children))
+        value = "".join(parts)
+        self._c_epoch = ep
+        self._c_text = value
+        self._c_inner = None
+        return value
+
+    def inner_text(self, normalize: bool = True) -> str:
+        """Trimmed (and optionally whitespace-collapsed) textContent,
+        cached per mutation epoch."""
+        text = self.text_content  # refreshes cache for this epoch
+        if not normalize:
+            return text.strip(JS_WHITESPACE)
+        if self._c_inner is None:
+            self._c_inner = RE_WS_RUN.sub(" ", text.strip(JS_WHITESPACE))
+        return self._c_inner
 
     # -- serialization ----------------------------------------------------
     @property

@@ -22,7 +22,10 @@ from .dom import (
 
 
 def get_inner_text(node: Node, normalize: bool = True) -> str:
-    """textContent trimmed; optionally with whitespace runs collapsed."""
+    """textContent trimmed; optionally with whitespace runs collapsed.
+    Elements use the per-epoch cache on the node."""
+    if isinstance(node, Element):
+        return node.inner_text(normalize)
     text = js_trim(node.text_content)
     if normalize:
         return normalize_spaces(text)
