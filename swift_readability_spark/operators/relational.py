@@ -272,3 +272,49 @@ QUERIES = {
     "order_priority_histogram": (order_priority_histogram, PRIORITY_SQL),
     "part_type_stats": (part_type_stats, PART_SQL),
 }
+
+
+def union_dedup_keys(spark, sf_dir):
+    """Set-op demo (SURVEY §2.6 node-set union): union two key
+    projections, dropDuplicates."""
+    o = read(spark, sf_dir, "orders")
+    l = read(spark, sf_dir, "lineitem")
+    a = o.select(F.col("o_orderkey").alias("orderkey"))
+    b = l.select(F.col("l_orderkey").alias("orderkey"))
+    return a.union(b).dropDuplicates(["orderkey"])
+
+
+UNION_DEDUP_SQL = """
+SELECT o_orderkey AS orderkey FROM orders
+UNION
+SELECT l_orderkey AS orderkey FROM lineitem
+"""
+
+
+def events_rollup(spark, sf_dir):
+    """ROLLUP aggregation (grouping-sets class)."""
+    e = read(spark, sf_dir, "events")
+    return (
+        e.rollup("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("ALL")).alias("event_type"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+EVENTS_ROLLUP_SQL = """
+SELECT coalesce(event_type, 'ALL') AS event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY ROLLUP (event_type)
+"""
+
+QUERIES["union_dedup_keys"] = (union_dedup_keys, UNION_DEDUP_SQL)
+QUERIES["events_rollup"] = (events_rollup, EVENTS_ROLLUP_SQL)

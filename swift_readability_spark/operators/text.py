@@ -268,3 +268,55 @@ QUERIES = {
     "lang_id": (lang_id, LANG_ID_SQL),
     "doc_fingerprint": (doc_fingerprint, FINGERPRINT_SQL),
 }
+
+
+def token_set_similarity(spark, sf_dir):
+    """The reference's textSimilarity (ArticleGrabber.swift:667-703) as
+    a columnar set-difference: similarity of every doc against doc 0 =
+    1 - len(join(tokensB \\ tokensA)) / len(join(tokensB))."""
+    d = read(spark, sf_dir, "documents")
+    toks = F.expr(
+        "filter(split(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ')), ' +'),"
+        " x -> x <> '')"
+    )
+    docs = d.select("doc_id", toks.alias("tokens"))
+    ref = docs.filter(F.col("doc_id") == 0).select(
+        F.col("tokens").alias("ref_tokens")
+    )
+    joined_len = "length(array_join({arr}, ' '))"
+    uniq = "filter(tokens, t -> NOT array_contains(ref_tokens, t))"
+    return (
+        docs.crossJoin(F.broadcast(ref))
+        .withColumn(
+            "similarity",
+            F.round(
+                1
+                - F.when(
+                    F.expr(joined_len.format(arr="tokens")) == 0, F.lit(0.0)
+                ).otherwise(
+                    F.expr(joined_len.format(arr=uniq))
+                    / F.expr(joined_len.format(arr="tokens"))
+                ),
+                4,
+            ),
+        )
+        .select("doc_id", "similarity")
+    )
+
+
+TOKEN_SET_SIMILARITY_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g')), ' +'),
+                     x -> x <> '') AS tokens
+  FROM documents
+),
+r AS (SELECT tokens AS ref_tokens FROM t WHERE doc_id = 0)
+SELECT doc_id,
+       round(1 - CASE WHEN coalesce(length(array_to_string(tokens, ' ')), 0) = 0 THEN 0.0
+                      ELSE coalesce(length(array_to_string(list_filter(tokens, x -> NOT list_contains(ref_tokens, x)), ' ')), 0)
+                           / length(array_to_string(tokens, ' ')) END, 4) AS similarity
+FROM t, r
+"""
+
+QUERIES["token_set_similarity"] = (token_set_similarity, TOKEN_SET_SIMILARITY_SQL)

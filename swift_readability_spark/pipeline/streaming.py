@@ -1,0 +1,71 @@
+"""Structured Streaming variant of the extraction job.
+
+The reference is batch-only (SURVEY.md §2.10); this is the corpus-level
+extension: a file-source stream of spans documents processed in
+micro-batches with ``Trigger.AvailableNow`` — each micro-batch runs the
+same skew-aware extraction plan via ``foreachBatch`` and appends output
+plus lineage, so a stream restart resumes from the Spark checkpoint
+AND the lineage anti-join (the double bookkeeping is harmless: lineage
+keys are idempotent).
+
+``foreachBatch`` is used (rather than a streaming mapInArrow) because
+the extraction stage needs a repartition, which streaming DataFrames
+do not allow mid-plan; inside foreachBatch the micro-batch is a plain
+batch DataFrame and the whole batch pipeline applies unchanged.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import SparkSession
+
+from .job import DOCUMENTS_SCHEMA, lineage_from_output, plan_extraction
+
+
+def run_extraction_stream(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    lineage_path: str,
+    *,
+    base_url: str = "http://fakehost/test/page.html",
+    n_partitions: int | None = None,
+    checkpoint_path: str | None = None,
+    run_id: str = "stream",
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Drain all available input files as micro-batches, then stop."""
+    if n_partitions is None:
+        n_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    checkpoint_path = checkpoint_path or output_path + "_checkpoint"
+
+    reader = (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .format("parquet")
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.load(input_path)
+
+    def process_batch(batch_df, batch_id: int) -> None:
+        started_at = time.strftime("%Y-%m-%d %H:%M:%S", time.gmtime())
+        extracted = plan_extraction(
+            batch_df, base_url, f"{run_id}-{batch_id}", n_partitions
+        )
+        extracted.write.mode("append").parquet(output_path)
+        committed = (
+            batch_df.sparkSession.read.parquet(output_path)
+            .where(f"run_id = '{run_id}-{batch_id}'")
+        )
+        lineage_from_output(committed, started_at).write.mode("append").parquet(
+            lineage_path
+        )
+
+    query = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
