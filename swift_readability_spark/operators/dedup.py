@@ -113,7 +113,14 @@ FROM s
 
 def lsh_candidate_pairs(spark, sf_dir):
     """LSH banding: docs sharing any (band, bucket) become candidate
-    pairs — the scale path that avoids the O(n^2) similarity join."""
+    pairs — the scale path that avoids the O(n^2) similarity join.
+
+    Single-pass shape: groupBy (band, bucket) + in-bucket pair
+    expansion, instead of a self-join (which would recompute the
+    MinHash pipeline once per join side).  At web scale a bucket-size
+    cap bounds the quadratic in-bucket expansion; bucket keys are
+    uniform by construction so the shuffle has no skew.
+    """
     sig = minhash_signatures(spark, sf_dir)
     bands = []
     for b in range(N_BANDS):
@@ -127,16 +134,21 @@ def lsh_candidate_pairs(spark, sf_dir):
     exploded = sig.select(
         "doc_id", F.explode(F.array(*bands)).alias("bb")
     ).select("doc_id", "bb.band", "bb.bucket")
-    a = exploded.alias("a")
-    b = exploded.alias("b")
-    return (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
+    buckets = (
+        exploded.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
     )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (x, i) ->"
+                " transform(slice(ids, i + 2, size(ids)), y ->"
+                " struct(x AS doc_a, y AS doc_b))))"
+            )
+        ).alias("p")
+    )
+    return pairs.select("p.doc_a", "p.doc_b").distinct()
 
 
 def _lsh_sql() -> str:
