@@ -31,6 +31,11 @@ class ReadabilityOptions:
     disable_jsonld: bool = False
     allowed_video_regex: object = None
     link_density_modifier: float = 0.0
+    # custom content serializer: callable(article: Element) -> str;
+    # use_xml_serializer selects XHTML-syntax output (boolean-attr
+    # promotion) when no custom serializer is given
+    serializer: object = None
+    use_xml_serializer: bool = False
 
 
 @dataclass
@@ -72,10 +77,42 @@ def parse(
     return parse_document(doc, options)
 
 
+def parse_with_timings(
+    html: str,
+    url: str = "about:blank",
+    options: ReadabilityOptions | None = None,
+) -> tuple[ReadabilityResult | None, dict]:
+    """parse() plus a per-stage wall-time dict (label -> ms), the
+    analogue of the reference's TimingSink (Readability.swift:118-175,
+    Timing.swift:1-5)."""
+    import time
+
+    timings: dict[str, float] = {}
+    t0 = time.perf_counter()
+    doc = parse_html(html, url)
+    timings["parseDocument"] = (time.perf_counter() - t0) * 1000.0
+    result = parse_document(doc, options, timings=timings)
+    return result, timings
+
+
 def parse_document(
-    doc: Document, options: ReadabilityOptions | None = None
+    doc: Document,
+    options: ReadabilityOptions | None = None,
+    timings: dict | None = None,
 ) -> ReadabilityResult | None:
+    import time
+    from contextlib import contextmanager
+
     options = options or ReadabilityOptions()
+
+    @contextmanager
+    def stage(label: str):
+        if timings is None:
+            yield
+            return
+        t0 = time.perf_counter()
+        yield
+        timings[label] = timings.get(label, 0.0) + (time.perf_counter() - t0) * 1000.0
 
     if options.max_elems_to_parse > 0:
         num_tags = sum(1 for n in doc.iter_subtree() if isinstance(n, Element))
@@ -86,14 +123,17 @@ def parse_document(
 
     # readerable is computed on the unmutated DOM (the reference computes
     # it up-front for the same reason: Readability.swift:338-343)
-    readerable = is_probably_readerable(doc)
+    with stage("readerable"):
+        readerable = is_probably_readerable(doc)
 
-    unwrap_noscript_images(doc)
-    jsonld = {} if options.disable_jsonld else get_jsonld(doc)
-    remove_scripts(doc)
-    prep_document(doc)
+    with stage("preprocess"):
+        unwrap_noscript_images(doc)
+        jsonld = {} if options.disable_jsonld else get_jsonld(doc)
+        remove_scripts(doc)
+        prep_document(doc)
 
-    metadata = get_article_metadata(doc, jsonld)
+    with stage("metadata"):
+        metadata = get_article_metadata(doc, jsonld)
 
     grabber = Grabber(
         doc,
@@ -103,17 +143,19 @@ def parse_document(
         allowed_video_regex=options.allowed_video_regex or R.VIDEOS,
         link_density_modifier=options.link_density_modifier,
     )
-    article_content = grabber.grab_article()
+    with stage("grabArticle"):
+        article_content = grabber.grab_article()
     if article_content is None:
         return None
 
-    post_process_content(
-        article_content,
-        doc,
-        keep_classes=options.keep_classes,
-        classes_to_preserve=tuple(R.CLASSES_TO_PRESERVE)
-        + tuple(options.classes_to_preserve),
-    )
+    with stage("postprocess"):
+        post_process_content(
+            article_content,
+            doc,
+            keep_classes=options.keep_classes,
+            classes_to_preserve=tuple(R.CLASSES_TO_PRESERVE)
+            + tuple(options.classes_to_preserve),
+        )
 
     excerpt = metadata.get("excerpt")
     if not excerpt:
@@ -121,13 +163,22 @@ def parse_document(
         if paragraphs:
             excerpt = js_trim(paragraphs[0].text_content)
 
+    if options.serializer is not None:
+        content = options.serializer(article_content)
+    elif options.use_xml_serializer:
+        from .serializer import serialize_xml
+
+        content = serialize_xml(article_content, inner=True)
+    else:
+        content = article_content.inner_html
+
     text_content = article_content.text_content
     return ReadabilityResult(
         title=metadata.get("title"),
         byline=metadata.get("byline") or grabber.article_byline,
         dir=grabber.article_dir,
         lang=grabber.article_lang,
-        content=article_content.inner_html,
+        content=content,
         text_content=text_content,
         length=len(text_content),
         excerpt=excerpt,
