@@ -220,6 +220,14 @@ _IMAGE_EXTS = (
 # video-host allowlist match cannot veto removal of its container
 _AV_EXTS = (".mp4", ".webm", ".ogv", ".ogg", ".mp3", ".m4v", ".mov", ".wav", ".m4a")
 _EMBED_EXTS = (".swf", ".flv")
+# substrings that mark an extensionless URL as an image service
+import re as _re
+
+_IMG_HINT = _re.compile(
+    r"image|img\b|\.img|avatar|photo|thumb|scale|logo|icon|picture|"
+    r"media/math|imrs|svg|format=(jpe?g|png|webp|gif)",
+    _re.I,
+)
 
 
 def media_placeholder(media_ref: str) -> str:
@@ -250,8 +258,17 @@ def media_placeholder(media_ref: str) -> str:
         return f'<iframe src="{ref}"></iframe>'
     if low.endswith(_EMBED_EXTS):
         return f'<embed src="{ref}">'
-    # default: image — extensionless URLs are far more often CDN images
-    # (wiki math renders, image resizers) than embed pages
+    # extensionless URLs: image-service hints (resizers, avatars, math
+    # renders) -> img; an opaque extensionless page URL is usually an
+    # embedded widget (gists, players) -> iframe, which the embed
+    # cleaning heuristics can then judge
+    last_segment = low.rstrip("/").rsplit("/", 1)[-1]
+    if (
+        low.startswith(("http://", "https://", "//"))
+        and "." not in last_segment
+        and not _IMG_HINT.search(media_ref)
+    ):
+        return f'<iframe src="{ref}"></iframe>'
     return f'<img src="{ref}">'
 
 

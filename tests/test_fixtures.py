@@ -22,13 +22,10 @@ from swift_readability_spark.spans.compare import compare_spans
 FIXTURES = Path("/root/reference/Tests/SwiftReadabilityTests/Fixtures/test-pages")
 BASE_URL = "http://fakehost/test/page.html"
 
-# Inherent losses of the (kind, text, media_ref, offset) span data
-# model — the media element's tag/attributes are collapsed to one URL,
-# so pages whose extraction outcome depends on *which* lazy-loading
-# attribute spelling a <picture>/<img> pair used cannot round-trip:
-KNOWN_CONTENT_FAILURES = {
-    "lazy-image-1",  # medium.com: per-image data-src vs <noscript> pairing
-}
+# All 130 fixtures currently pass both span-sequence and metadata
+# equality; list here (with a reason) any fixture that regresses for a
+# documented span-model limitation.
+KNOWN_CONTENT_FAILURES: set[str] = set()
 
 ALL_FIXTURES = sorted(p.name for p in FIXTURES.iterdir() if p.is_dir())
 
