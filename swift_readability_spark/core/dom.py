@@ -156,7 +156,7 @@ class Comment(Node):
 class Element(Node):
     __slots__ = (
         "tag", "attrs", "children", "readability", "_data_table",
-        "_c_epoch", "_c_text", "_c_inner",
+        "_c_epoch", "_c_text", "_c_inner", "_c_ld",
     )
 
     IS_ELEMENT = True
@@ -169,6 +169,7 @@ class Element(Node):
         self._c_epoch = -1
         self._c_text = None
         self._c_inner = None
+        self._c_ld = None  # (epoch, link_density)
         # per-node extraction state (content score dict / data-table mark);
         # plays the role of the reference's identity-keyed side tables
         # (ArticleGrabber.swift:171-176)

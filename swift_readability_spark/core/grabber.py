@@ -586,18 +586,21 @@ class Grabber:
                     cell = set_node_tag(cell, tag)
                     table.parent.replace_child(cell, table)
 
+    _PRESENTATIONAL_SET = frozenset(R.PRESENTATIONAL_ATTRIBUTES)
+
     def clean_styles(self, e: Element) -> None:
         if e.tag == "svg":
             return
-        for attr in R.PRESENTATIONAL_ATTRIBUTES:
-            e.remove_attr(attr)
-        if e.tag in R.DEPRECATED_SIZE_ATTRIBUTE_ELEMS:
-            e.remove_attr("width")
-            e.remove_attr("height")
-        cur = e.first_element_child
-        while cur is not None:
-            self.clean_styles(cur)
-            cur = cur.next_element_sibling
+        attrs = e.attrs
+        if attrs:
+            for k in attrs.keys() & self._PRESENTATIONAL_SET:
+                del attrs[k]
+            if e.tag in R.DEPRECATED_SIZE_ATTRIBUTE_ELEMS:
+                attrs.pop("width", None)
+                attrs.pop("height", None)
+        for child in e.children:
+            if child.IS_ELEMENT:
+                self.clean_styles(child)
 
     def mark_data_tables(self, root: Element) -> None:
         for table in root.get_elements_by_tag("table"):
@@ -733,12 +736,29 @@ class Grabber:
             if self._should_clean_conditionally(node, tag):
                 node.remove()
 
+    @staticmethod
+    def _tag_census(element: Element) -> dict:
+        """One subtree walk counting every descendant tag (replaces a
+        per-tag walk for each heuristic counter)."""
+        counts: dict[str, int] = {}
+        stack = list(element.children)
+        pop = stack.pop
+        extend = stack.extend
+        while stack:
+            n = pop()
+            if n.IS_ELEMENT:
+                counts[n.tag] = counts.get(n.tag, 0) + 1
+                extend(n.children)
+        return counts
+
     def _should_clean_conditionally(self, node: Element, tag: str) -> bool:
         def is_data_table(t: Element) -> bool:
             return bool(t._data_table)
 
+        census = self._tag_census(node)
+
         is_list = tag in ("ul", "ol")
-        if not is_list:
+        if not is_list and (census.get("ul") or census.get("ol")):
             list_length = 0
             for lst in node.get_elements_by_tag("ul", "ol"):
                 list_length += len(get_inner_text(lst))
@@ -751,7 +771,9 @@ class Grabber:
             return False
         if has_ancestor_tag(node, "code"):
             return False
-        if any(is_data_table(t) for t in node.get_elements_by_tag("table")):
+        if census.get("table") and any(
+            is_data_table(t) for t in node.get_elements_by_tag("table")
+        ):
             return False
 
         weight = self.get_class_weight(node)
@@ -759,19 +781,20 @@ class Grabber:
             return True
 
         if get_char_count(node, R.COMMAS) < 10:
-            p = len(node.get_elements_by_tag("p"))
-            img = len(node.get_elements_by_tag("img"))
-            li = len(node.get_elements_by_tag("li")) - 100
-            input_count = len(node.get_elements_by_tag("input"))
+            p = census.get("p", 0)
+            img = census.get("img", 0)
+            li = census.get("li", 0) - 100
+            input_count = census.get("input", 0)
             heading_density = get_text_density(
                 node, ("h1", "h2", "h3", "h4", "h5", "h6")
             )
 
             embed_count = 0
-            for embed in node.get_elements_by_tag("object", "embed", "iframe"):
-                if self._embed_is_allowed_video(embed):
-                    return False
-                embed_count += 1
+            if census.get("object") or census.get("embed") or census.get("iframe"):
+                for embed in node.get_elements_by_tag("object", "embed", "iframe"):
+                    if self._embed_is_allowed_video(embed):
+                        return False
+                    embed_count += 1
 
             inner_text = get_inner_text(node)
             if R.AD_WORDS.search(inner_text) or R.LOADING_WORDS.search(inner_text):
@@ -809,8 +832,7 @@ class Grabber:
                 for child in node.element_children:
                     if len(child.element_children) > 1:
                         return have_to_remove
-                li_count = len(node.get_elements_by_tag("li"))
-                if img == li_count:
+                if img == census.get("li", 0):
                     return False
             return have_to_remove
         return False

@@ -59,15 +59,26 @@ def get_char_count(node: Node, pattern=R.COMMAS) -> int:
 
 
 def get_link_density(element: Element) -> float:
+    # memoized per mutation epoch (the reference's LinkDensityCache,
+    # ArticleGrabber.swift:173-176)
+    from .dom import _EPOCH
+
+    ep = _EPOCH[0]
+    cached = element._c_ld
+    if cached is not None and cached[0] == ep:
+        return cached[1]
     text_length = len(get_inner_text(element))
     if text_length == 0:
-        return 0.0
-    link_length = 0.0
-    for a in element.get_elements_by_tag("a"):
-        href = a.get_attr("href")
-        coefficient = 0.3 if href and R.HASH_URL.match(href) else 1.0
-        link_length += len(get_inner_text(a)) * coefficient
-    return link_length / text_length
+        density = 0.0
+    else:
+        link_length = 0.0
+        for a in element.get_elements_by_tag("a"):
+            href = a.get_attr("href")
+            coefficient = 0.3 if href and R.HASH_URL.match(href) else 1.0
+            link_length += len(get_inner_text(a)) * coefficient
+        density = link_length / text_length
+    element._c_ld = (ep, density)
+    return density
 
 
 def get_text_density(element: Element, tags: tuple[str, ...]) -> float:
