@@ -318,3 +318,92 @@ GROUP BY ROLLUP (event_type)
 
 QUERIES["union_dedup_keys"] = (union_dedup_keys, UNION_DEDUP_SQL)
 QUERIES["events_rollup"] = (events_rollup, EVENTS_ROLLUP_SQL)
+
+
+def events_cube(spark, sf_dir):
+    """CUBE over (event_type, weekday): full grouping-sets lattice."""
+    e = read(spark, sf_dir, "events")
+    base = e.select(
+        "event_type", F.dayofweek("ts").alias("weekday"), "value"
+    )
+    return (
+        base.cube("event_type", "weekday")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce(F.col("weekday").cast("bigint"), F.lit(-1)).alias("weekday"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+EVENTS_CUBE_SQL = """
+SELECT coalesce(event_type, 'ALL') AS event_type,
+       coalesce(CAST(dayofweek(ts) + 1 AS BIGINT), -1) AS weekday,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY CUBE (event_type, dayofweek(ts))
+"""
+
+
+def repeat_customer_keys(spark, sf_dir):
+    """INTERSECT: customers active in both halves of the order window."""
+    o = read(spark, sf_dir, "orders")
+    first = o.filter(F.col("o_orderdate") < "1998-01-01").select("o_custkey")
+    second = o.filter(F.col("o_orderdate") >= "1998-01-01").select("o_custkey")
+    return first.intersect(second)
+
+
+INTERSECT_SQL = """
+SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+"""
+
+
+def order_aging(spark, sf_dir):
+    """Date/math scalar functions: age buckets, month extraction."""
+    o = read(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("bigint").alias("order_year"),
+        F.month("o_orderdate").cast("bigint").alias("order_month"),
+        F.datediff(F.lit("2026-01-01").cast("date"), F.to_date("o_orderdate"))
+        .cast("bigint")
+        .alias("age_days"),
+        F.round(F.log10(F.col("o_totalprice") + 1), 4).alias("log_price"),
+        F.pmod(F.col("o_orderkey"), F.lit(7)).cast("bigint").alias("key_mod7"),
+    )
+
+
+ORDER_AGING_SQL = """
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS BIGINT) AS order_year,
+       CAST(month(o_orderdate) AS BIGINT) AS order_month,
+       CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2026-01-01') AS BIGINT) AS age_days,
+       round(log10(o_totalprice + 1), 4) AS log_price,
+       CAST(o_orderkey % 7 AS BIGINT) AS key_mod7
+FROM orders
+"""
+
+
+def event_props_extract(spark, sf_dir):
+    """JSON scalar extraction from the props column (map/json function
+    class): pull the 'k' counter out of the JSON payload."""
+    e = read(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+    )
+
+
+PROPS_SQL = """
+SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events
+"""
+
+QUERIES["events_cube"] = (events_cube, EVENTS_CUBE_SQL)
+QUERIES["repeat_customer_keys"] = (repeat_customer_keys, INTERSECT_SQL)
+QUERIES["order_aging"] = (order_aging, ORDER_AGING_SQL)
+QUERIES["event_props_extract"] = (event_props_extract, PROPS_SQL)
