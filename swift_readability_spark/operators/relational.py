@@ -407,3 +407,36 @@ QUERIES["events_cube"] = (events_cube, EVENTS_CUBE_SQL)
 QUERIES["repeat_customer_keys"] = (repeat_customer_keys, INTERSECT_SQL)
 QUERIES["order_aging"] = (order_aging, ORDER_AGING_SQL)
 QUERIES["event_props_extract"] = (event_props_extract, PROPS_SQL)
+
+
+def sessionize_events(spark, sf_dir):
+    """Gap-based session windows (30 min) per user — the batch form of
+    the stateful streaming operator (pipeline/sessionize.py)."""
+    from ..pipeline.sessionize import sessionize_batch
+
+    return sessionize_batch(read(spark, sf_dir, "events"))
+
+
+SESSIONIZE_SQL = """
+WITH g AS (
+  SELECT user_id, ts, value,
+         CASE WHEN epoch(ts) - lag(epoch(ts), 1, -1000000000000)
+                   OVER (PARTITION BY user_id ORDER BY ts) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+s AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM g
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM s
+GROUP BY user_id, session_id
+"""
+
+QUERIES["sessionize_events"] = (sessionize_events, SESSIONIZE_SQL)

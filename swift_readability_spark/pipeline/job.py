@@ -238,6 +238,22 @@ def lineage_from_output(extracted: DataFrame, started_at) -> DataFrame:
     )
 
 
+def read_committed(
+    spark: SparkSession, output_path: str, lineage_path: str
+) -> DataFrame:
+    """Read extraction output restricted to committed work: a semi-join
+    against lineage on (run_id, partition_key) drops orphan rows left
+    by a crash between the output append and the lineage append (the
+    parquet-mode analogue of Iceberg's transactional visibility)."""
+    out = spark.read.parquet(output_path)
+    lineage = spark.read.parquet(lineage_path).select(
+        F.col("run_id"), F.col("partition_id").alias("partition_key")
+    )
+    return out.join(
+        F.broadcast(lineage.distinct()), ["run_id", "partition_key"], "left_semi"
+    )
+
+
 def committed_keys(spark: SparkSession, lineage_path: str) -> DataFrame | None:
     """Partition keys already committed by any previous run."""
     try:

@@ -1,0 +1,118 @@
+"""Custom stateful streaming operator: session windows via
+``applyInPandasWithState``.
+
+The reference has no streaming surface (SURVEY.md §2.10); this is the
+corpus-level extension for event streams: per-user sessionization with
+a gap timeout, state carried across micro-batches.  The same grouping
+logic runs in batch mode (``sessionize_batch``) so tests can assert
+stream == batch.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_GAP_MINUTES = 30
+
+SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("session_start", T.DoubleType()),
+        T.StructField("session_end", T.DoubleType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+
+def _sessionize_group(key, pdf_iter, state: GroupState):
+    """Emit closed sessions; keep the open session in state."""
+    (user_id,) = key
+    gap = SESSION_GAP_MINUTES * 60.0
+    if state.exists:
+        start, end, n, total = state.get
+    else:
+        start = end = None
+        n, total = 0, 0.0
+    closed = []
+    for pdf in pdf_iter:
+        pdf = pdf.sort_values("ts")
+        for ts, value in zip(pdf["ts"], pdf["value"]):
+            t = ts.timestamp()
+            if start is None:
+                start = end = t
+                n, total = 1, float(value)
+            elif t - end > gap:
+                closed.append((start, end, n, total))
+                start = end = t
+                n, total = 1, float(value)
+            else:
+                end = t
+                n += 1
+                total += float(value)
+    if start is not None:
+        state.update((start, end, n, total))
+    if closed:
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(closed),
+                "session_start": [_dt.datetime.utcfromtimestamp(c[0]) for c in closed],
+                "session_end": [_dt.datetime.utcfromtimestamp(c[1]) for c in closed],
+                "n_events": [c[2] for c in closed],
+                "total_value": [round(c[3], 2) for c in closed],
+            }
+        )
+
+
+def sessionize_stream(events_stream: DataFrame) -> DataFrame:
+    """Streaming sessionization (open sessions stay in state until the
+    gap elapses on a later batch)."""
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        _sessionize_group,
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def sessionize_batch(events: DataFrame) -> DataFrame:
+    """Batch-mode reference implementation: gap-based session ids via
+    window functions (native Catalyst plan, no Python)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = SESSION_GAP_MINUTES * 60
+    # ts may be TIMESTAMP_NTZ: go through LTZ (session tz = UTC) to
+    # get epoch seconds, matching DuckDB's epoch()
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    with_gap = events.withColumn(
+        "_new_session",
+        (
+            epoch - F.lag(epoch, 1, -(10**12)).over(w) > gap
+        ).cast("int"),
+    ).withColumn("_session_id", F.sum("_new_session").over(w))
+    return (
+        with_gap.groupBy("user_id", "_session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .drop("_session_id")
+    )
