@@ -58,8 +58,11 @@ def interleaved_documents(spark, sf_dir, partitions: int | None = None):
 
 
 def _extracted(spark, sf_dir):
-    docs = interleaved_documents(spark, sf_dir)
-    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # partition count from actual cluster parallelism, not
+    # spark.sql.shuffle.partitions: a default-200 session would spread
+    # this small demo corpus over 800 physical tasks of pure overhead
+    n = max(int(spark.sparkContext.defaultParallelism), 2)
+    docs = interleaved_documents(spark, sf_dir, partitions=n)
     return plan_extraction(
         docs, "http://fakehost/test/page.html", run_id="entry", n_partitions=n
     )

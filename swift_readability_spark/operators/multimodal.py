@@ -70,6 +70,9 @@ def media_decode_stub(spark, sf_dir):
     in, feature rows out.  This is the exact plumbing a real
     decode/resize/frame-sample stage uses — swap ``_fake_decode`` for
     the codec call on a cluster with codecs installed."""
+    from ..pipeline.session import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
     d = read(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "utf-8").alias("payload")
     )

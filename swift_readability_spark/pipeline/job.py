@@ -195,6 +195,10 @@ def plan_extraction(
     stable domain, independent of physical placement, so routing and
     task sizing never affect resume semantics.
     """
+    from .session import ensure_package_on_workers
+
+    ensure_package_on_workers(df.sparkSession)
+
     physical = n_partitions * max(oversubscription, 1)
     keyed = with_partition_key(df, n_partitions)
     routed = keyed.withColumn(

@@ -29,6 +29,33 @@ from pyspark.sql import SparkSession
 ARROW_MAX_RECORDS_PER_BATCH = 256
 
 
+def ensure_package_on_workers(spark: SparkSession) -> None:
+    """Make ``swift_readability_spark`` importable in executor Python
+    workers regardless of the driver's cwd/PYTHONPATH: zip the package
+    once and ship it via addPyFile (the programmatic equivalent of
+    ``spark-submit --py-files``).  Idempotent per session."""
+    marker = "swift_readability_spark.workers_ready"
+    try:
+        if spark.conf.get(marker, None) == "1":
+            return
+    except Exception:  # noqa: BLE001
+        pass
+    import tempfile
+    import zipfile
+    from pathlib import Path
+
+    pkg_dir = Path(__file__).resolve().parent.parent
+    zip_path = Path(tempfile.gettempdir()) / "swift_readability_spark_pkg.zip"
+    if not zip_path.exists():
+        tmp = zip_path.with_suffix(".tmp.zip")
+        with zipfile.ZipFile(tmp, "w") as zf:
+            for py in sorted(pkg_dir.rglob("*.py")):
+                zf.write(py, py.relative_to(pkg_dir.parent))
+        tmp.rename(zip_path)
+    spark.sparkContext.addPyFile(str(zip_path))
+    spark.conf.set(marker, "1")
+
+
 def build_session(
     app_name: str = "swift-readability-spark",
     master: str | None = None,

@@ -81,6 +81,9 @@ def _sessionize_group(key, pdf_iter, state: GroupState):
 def sessionize_stream(events_stream: DataFrame) -> DataFrame:
     """Streaming sessionization (open sessions stay in state until the
     gap elapses on a later batch)."""
+    from .session import ensure_package_on_workers
+
+    ensure_package_on_workers(events_stream.sparkSession)
     return events_stream.groupBy("user_id").applyInPandasWithState(
         _sessionize_group,
         outputStructType=SESSION_SCHEMA,
