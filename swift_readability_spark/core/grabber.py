@@ -48,6 +48,18 @@ DEFAULT_N_TOP_CANDIDATES = 5
 DEFAULT_CHAR_THRESHOLD = 500
 
 
+def _has_descendant_tag(element: Element, tags: tuple[str, ...]) -> bool:
+    """Early-exit descendant probe (avoids building full tag lists)."""
+    stack = list(element.children)
+    while stack:
+        n = stack.pop()
+        if n.IS_ELEMENT:
+            if n.tag in tags:
+                return True
+            stack.extend(n.children)
+    return False
+
+
 def _parse_int(value: str | None) -> int:
     """JS parseInt semantics: leading integer or 0."""
     if not value:
@@ -522,11 +534,12 @@ class Grabber:
 
         self.clean_conditionally(article_content, "form")
         self.clean_conditionally(article_content, "fieldset")
-        self.clean(article_content, "object")
-        self.clean(article_content, "embed")
-        self.clean(article_content, "footer")
-        self.clean(article_content, "link")
-        self.clean(article_content, "aside")
+        # one walk for the five unconditional cleans (same per-tag
+        # removal order as five separate sweeps; nested victims are
+        # skipped via the attachment check)
+        self.clean_group(
+            article_content, ("object", "embed", "footer", "link", "aside")
+        )
 
         share_element_threshold = DEFAULT_CHAR_THRESHOLD
         for top_candidate in article_content.element_children:
@@ -536,11 +549,9 @@ class Grabber:
                 and len(node.text_content) < share_element_threshold,
             )
 
-        self.clean(article_content, "iframe")
-        self.clean(article_content, "input")
-        self.clean(article_content, "textarea")
-        self.clean(article_content, "select")
-        self.clean(article_content, "button")
+        self.clean_group(
+            article_content, ("iframe", "input", "textarea", "select", "button")
+        )
         self.clean_headers(article_content)
 
         self.clean_conditionally(article_content, "table")
@@ -553,10 +564,9 @@ class Grabber:
         for paragraph in reversed(article_content.get_elements_by_tag("p")):
             if paragraph.parent is None:
                 continue
-            content_element_count = len(
-                paragraph.get_elements_by_tag("img", "embed", "object", "iframe")
-            )
-            if content_element_count == 0 and not get_inner_text(paragraph, False):
+            if not _has_descendant_tag(
+                paragraph, ("img", "embed", "object", "iframe")
+            ) and not get_inner_text(paragraph, False):
                 paragraph.remove()
 
         for br in article_content.get_elements_by_tag("br"):
@@ -703,13 +713,38 @@ class Grabber:
         return False
 
     def clean(self, e: Element, tag: str) -> None:
-        is_embed = tag in ("object", "embed", "iframe")
-        for element in reversed(e.get_elements_by_tag(tag)):
-            if element.parent is None:
-                continue
-            if is_embed and self._embed_is_allowed_video(element):
-                continue
-            element.remove()
+        self.clean_group(e, (tag,))
+
+    @staticmethod
+    def _is_attached(element: Element, root: Element) -> bool:
+        cur = element.parent
+        while cur is not None:
+            if cur is root:
+                return True
+            cur = cur.parent
+        return False
+
+    def clean_group(self, e: Element, tags: tuple[str, ...]) -> None:
+        """_clean for several tags with a single subtree walk.
+        Equivalent to sequential per-tag sweeps: elements are removed
+        tag by tag in reverse document order, and an element already
+        detached by an earlier tag's removal is skipped."""
+        by_tag: dict[str, list[Element]] = {t: [] for t in tags}
+        stack = list(reversed(e.children))
+        while stack:
+            n = stack.pop()
+            if n.IS_ELEMENT:
+                if n.tag in by_tag:
+                    by_tag[n.tag].append(n)
+                stack.extend(reversed(n.children))
+        for tag in tags:
+            is_embed = tag in ("object", "embed", "iframe")
+            for element in reversed(by_tag[tag]):
+                if element.parent is None or not self._is_attached(element, e):
+                    continue
+                if is_embed and self._embed_is_allowed_video(element):
+                    continue
+                element.remove()
 
     def clean_matched_nodes(self, e: Element, filter_fn) -> None:
         end_of_search = get_next_node(e, True)
