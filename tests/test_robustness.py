@@ -40,3 +40,68 @@ def test_extraction_deterministic_across_runs(spark, corpus_dir):
     ra = {(r["doc_id"], str(r["spans"]), r["title"]) for r in a.collect()}
     rb = {(r["doc_id"], str(r["spans"]), r["title"]) for r in b.collect()}
     assert ra == rb
+
+
+def test_read_committed_filters_orphans(spark, corpus_dir, tmp_path_factory):
+    """A crash between the output append and the lineage append leaves
+    orphan rows; read_committed must hide them."""
+    from swift_readability_spark.pipeline.job import (
+        plan_extraction,
+        read_committed,
+        run_extraction,
+    )
+
+    out = tmp_path_factory.mktemp("orphan")
+    docs = spark.read.parquet(corpus_dir + "/documents.parquet")
+
+    # committed run
+    run_extraction(
+        spark, docs.limit(40), str(out / "extracted"), str(out / "lineage"),
+        n_partitions=4,
+    )
+    committed = read_committed(spark, str(out / "extracted"), str(out / "lineage"))
+    n_committed = committed.count()
+    assert n_committed == 40
+
+    # simulate a crash: output appended, lineage never written
+    orphan = plan_extraction(
+        docs.limit(10).withColumn("doc_id", F.concat(F.lit("orphan-"), "doc_id")),
+        "http://fakehost/test/page.html",
+        "crashed-run",
+        n_partitions=4,
+    )
+    from swift_readability_spark.pipeline.job import with_partition_key  # noqa: F401
+
+    orphan.write.mode("append").parquet(str(out / "extracted"))
+
+    raw = spark.read.parquet(str(out / "extracted"))
+    assert raw.count() == 50
+    visible = read_committed(spark, str(out / "extracted"), str(out / "lineage"))
+    assert visible.count() == n_committed
+    assert visible.filter(F.col("run_id") == "crashed-run").count() == 0
+
+
+def test_mega_document_isolated_and_extracted(spark):
+    """A multi-megabyte document flows through the heavy route and
+    extracts without destabilizing the job."""
+    from swift_readability_spark.corpus.synth import synth_doc_html
+    from swift_readability_spark.pipeline.job import DOCUMENTS_SCHEMA, plan_extraction
+    from swift_readability_spark.spans.codec import html_to_spans
+    import random
+
+    rng = random.Random(99)
+    big_html = synth_doc_html(rng, n_paragraphs=11000, n_media=100)
+    assert len(big_html) > 5_000_000
+    big_spans = html_to_spans(big_html, "http://fakehost/syn/mega.html")
+    small = [
+        (f"small-{i}", [{"kind": "text", "text": "<html><body><p>" + "text here, words. " * 100 + "</p></body></html>", "media_ref": None, "offset": 0}])
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(small + [("mega", big_spans)], DOCUMENTS_SCHEMA)
+    rows = plan_extraction(
+        df, "http://fakehost/test/page.html", "mega", n_partitions=4
+    ).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    assert by_id["mega"]["error"] is None
+    assert by_id["mega"]["text_length"] > 1_000_000
+    assert all(by_id[f"small-{i}"]["error"] is None for i in range(20))
