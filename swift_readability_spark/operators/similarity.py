@@ -71,8 +71,11 @@ def ivf_centroids(spark, sf_dir):
     e = read(spark, sf_dir, "embeddings")
     return (
         e.select("label", F.posexplode("embedding").alias("pos", "v"))
+        # exact decimal aggregation: float sums are partition-order
+        # dependent; decimals make the mean bit-identical on any plan
+        .withColumn("v", F.col("v").cast("decimal(20,10)"))
         .groupBy("label", "pos")
-        .agg(F.round(F.avg("v"), 4).alias("mean_v"))
+        .agg(F.round(F.avg("v"), 4).cast("double").alias("mean_v"))
         .groupBy("label")
         .agg(
             F.expr(
@@ -89,7 +92,8 @@ WITH d AS (
          CAST(unnest(embedding) AS DOUBLE) AS v
   FROM embeddings
 ),
-m AS (SELECT label, pos, round(avg(v), 4) AS mean_v FROM d GROUP BY label, pos)
+m AS (SELECT label, pos, CAST(round(avg(CAST(v AS DECIMAL(20,10))), 4) AS DOUBLE) AS mean_v
+      FROM d GROUP BY label, pos)
 SELECT label,
        round(list_reduce(list(mean_v ORDER BY pos), (a, b) -> a + b), 4) AS centroid_sum
 FROM m
