@@ -45,14 +45,18 @@ def ensure_package_on_workers(spark: SparkSession) -> None:
     from pathlib import Path
 
     pkg_dir = Path(__file__).resolve().parent.parent
-    zip_path = Path(tempfile.gettempdir()) / "swift_readability_spark_pkg.zip"
-    if not zip_path.exists():
-        tmp = zip_path.with_suffix(".tmp.zip")
-        with zipfile.ZipFile(tmp, "w") as zf:
-            for py in sorted(pkg_dir.rglob("*.py")):
-                zf.write(py, py.relative_to(pkg_dir.parent))
-        tmp.rename(zip_path)
-    spark.sparkContext.addPyFile(str(zip_path))
+    # rebuild per session (cheap, ~40 files): a cached zip would ship
+    # stale code to workers after the package changes on disk
+    fd, zip_name = tempfile.mkstemp(
+        prefix="swift_readability_spark_pkg_", suffix=".zip"
+    )
+    import os
+
+    os.close(fd)
+    with zipfile.ZipFile(zip_name, "w") as zf:
+        for py in sorted(pkg_dir.rglob("*.py")):
+            zf.write(py, py.relative_to(pkg_dir.parent))
+    spark.sparkContext.addPyFile(zip_name)
     spark.conf.set(marker, "1")
 
 

@@ -46,6 +46,13 @@ def run_extraction_stream(
     )
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    # the file-stream source requires a directory; accept a single
+    # parquet file by streaming its parent with a glob filter
+    import os
+
+    if os.path.isfile(input_path):
+        reader = reader.option("pathGlobFilter", os.path.basename(input_path))
+        input_path = os.path.dirname(input_path) or "."
     stream = reader.load(input_path)
 
     def process_batch(batch_df, batch_id: int) -> None:
