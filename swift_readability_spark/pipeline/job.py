@@ -183,6 +183,7 @@ def plan_extraction(
     n_partitions: int,
     heavy_threshold: int = DEFAULT_HEAVY_THRESHOLD,
     oversubscription: int = DEFAULT_TASK_OVERSUBSCRIPTION,
+    assume_pre_partitioned: bool = False,
 ) -> DataFrame:
     """Build the (lazy) extraction DataFrame with skew-aware routing.
 
@@ -199,6 +200,17 @@ def plan_extraction(
 
     ensure_package_on_workers(df.sparkSession)
 
+    extract = make_extract_batches(base_url, run_id)
+    if assume_pre_partitioned:
+        # shuffle elision for corpora already written with a sane
+        # distribution (Iceberg bucket(N, doc_id) + hash write mode,
+        # or a prior repartition-on-write): the scan partitions are
+        # consumed directly — zero Exchange in the plan.  At 100 TB
+        # this removes the single largest data movement of the job.
+        return with_partition_key(df, n_partitions).mapInArrow(
+            extract, EXTRACTED_SCHEMA
+        )
+
     physical = n_partitions * max(oversubscription, 1)
     keyed = with_partition_key(df, n_partitions)
     routed = keyed.withColumn(
@@ -213,7 +225,6 @@ def plan_extraction(
         ),
     ).repartition(physical, "_route_key").drop("_route_key")
 
-    extract = make_extract_batches(base_url, run_id)
     return routed.mapInArrow(extract, EXTRACTED_SCHEMA)
 
 

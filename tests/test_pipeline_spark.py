@@ -159,3 +159,22 @@ def test_mega_doc_flows_through_heavy_path(spark, corpus_dir, extracted):
     mega = extracted["df"].filter(F.col("doc_id") == "syn-42-19").collect()
     assert len(mega) == 1
     assert mega[0]["text_length"] > 100_000
+
+
+def test_pre_partitioned_mode_elides_shuffle(spark, corpus_dir):
+    """assume_pre_partitioned consumes scan partitions directly:
+    no Exchange in the physical plan, identical results."""
+    from swift_readability_spark.pipeline.job import plan_extraction
+
+    docs = spark.read.parquet(corpus_dir + "/documents.parquet").filter(
+        F.col("doc_id").startswith("syn-")
+    )
+    default = plan_extraction(docs, "http://fakehost/test/page.html", "r", 4)
+    elided = plan_extraction(
+        docs, "http://fakehost/test/page.html", "r", 4, assume_pre_partitioned=True
+    )
+    plan = elided._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    a = {(r["doc_id"], r["title"], r["text_length"]) for r in default.collect()}
+    b = {(r["doc_id"], r["title"], r["text_length"]) for r in elided.collect()}
+    assert a == b
