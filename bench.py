@@ -12,8 +12,8 @@ level plus efficiency = (thr_hi / thr_lo) / 4.
 Prints exactly ONE JSON line:
   {"metric": "...", "value": <total headline seconds>, "unit": "sec",
    "queries": {...per-query sec...}, "sf": ...,
-   "docs_per_sec_localN": ..., "docs_per_sec_localN4": ...,
-   "scaling_efficiency": ...}
+   "docs_per_sec_local<cores>": ... (one per measured level),
+   "scaling_pair": "local[lo] -> local[hi]", "scaling_efficiency": ...}
 """
 
 from __future__ import annotations

@@ -48,12 +48,29 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--only", nargs="*")
+    ap.add_argument(
+        "--vanilla",
+        action="store_true",
+        help="plain SparkSession (driver-like defaults) instead of the tuned one",
+    )
     args = ap.parse_args()
 
     from swift_readability_spark.operators import registry
-    from swift_readability_spark.pipeline.session import build_session
 
-    spark = build_session(app_name="oracle-validate", master="local[8]", shuffle_partitions=8)
+    if args.vanilla:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.appName("oracle-validate-vanilla")
+            .master("local[8]")
+            .getOrCreate()
+        )
+    else:
+        from swift_readability_spark.pipeline.session import build_session
+
+        spark = build_session(
+            app_name="oracle-validate", master="local[8]", shuffle_partitions=8
+        )
     con = duckdb.connect()
     for t in TABLES:
         con.execute(

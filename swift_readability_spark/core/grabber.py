@@ -20,7 +20,7 @@ import math
 import re
 
 from . import regexps as R
-from .dom import Comment, Document, Element, Node, TextNode, js_trim
+from .dom import Document, Element, Node, js_trim
 from .helpers import (
     get_char_count,
     get_inner_text,

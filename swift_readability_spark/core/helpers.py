@@ -11,7 +11,6 @@ import re
 
 from . import regexps as R
 from .dom import (
-    Comment,
     Element,
     Node,
     RE_NON_WS_END,

@@ -9,7 +9,7 @@ Re-expresses ``/root/reference/Sources/SwiftReadability/Postprocessor.swift``
 from __future__ import annotations
 
 import re
-from urllib.parse import urljoin, urlsplit, urlunsplit, quote
+from urllib.parse import quote, urlsplit, urlunsplit
 
 from . import regexps as R
 from .dom import Document, Element, TextNode

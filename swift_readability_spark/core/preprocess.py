@@ -9,7 +9,7 @@ canonical ``tmp-readability/Readability.js`` ``_unwrapNoscriptImages`` /
 from __future__ import annotations
 
 from . import regexps as R
-from .dom import Document, Element, TextNode, parse_fragment
+from .dom import Document, Element, parse_fragment
 from .helpers import (
     is_phrasing_content,
     is_whitespace,

@@ -7,11 +7,10 @@ DataFrame-native corpus layer per SURVEY.md §2.1/§4.3:
   — not physical task ids — so a re-run maps every document to the
   same key and resume can skip exactly the committed work.
 - **skew salting**: documents whose span payload exceeds
-  ``heavy_threshold`` bytes are routed to a dedicated repartition by
-  ``doc_id`` (one mega-doc per task neighborhood) instead of sharing
-  hash partitions with thousands of small docs.  Combined with a small
-  ``arrow.maxRecordsPerBatch`` this bounds per-batch memory at any
-  document-size distribution.
+  ``heavy_threshold`` get a per-document route key (one mega-doc per
+  task neighborhood) instead of sharing hash partitions with thousands
+  of small docs.  Combined with a bounded ``arrow.maxRecordsPerBatch``
+  this caps per-batch worker memory at any document-size distribution.
 - **resume**: a left-anti join of the input's partition keys against
   committed lineage rows (Iceberg would make the appends atomic; on
   plain parquet the lineage write is the commit point because it is

@@ -15,11 +15,13 @@ every media element boundary; each media element becomes one media
 span; markup between boundaries becomes text spans; ``offset`` numbers
 spans 0..n-1 in document order.
 
-Reassembly re-injects each media span as a placeholder element carrying
-its ``media_ref`` (an ``<iframe>`` when the ref matches the allowed
-video regex so embed-preservation heuristics behave, else an ``<img>``)
-— the media tag/attributes themselves are, by design of the span data
-model, not preserved.
+Reassembly re-injects each media span as a placeholder element whose
+tag class is inferred from the ref (``media_placeholder``: img for
+image-like URLs, iframe for video hosts / embed pages, video for A/V
+files and blob: URLs, embed for flash) so the extraction core's
+embed/phrasing heuristics treat it like the original element class —
+the original tag/attributes themselves are, by design of the span
+data model, not preserved.
 """
 
 from __future__ import annotations
@@ -29,7 +31,6 @@ from html import escape
 from ..core import regexps as R
 from ..core.dom import (
     Comment,
-    Document,
     Element,
     Node,
     RAW_TEXT_TAGS,

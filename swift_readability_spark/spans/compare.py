@@ -13,7 +13,7 @@ from __future__ import annotations
 import re
 
 from ..core.dom import Comment, Element, Node, TextNode, js_trim
-from .codec import fragment_to_spans, spans_to_html
+from .codec import spans_to_html
 
 _ANY_WS = re.compile(r"\s+")
 
