@@ -107,12 +107,14 @@ _DOC_BYTES_EXPR = (
 )
 
 
-def make_extract_batches(base_url: str, run_id: str):
+def make_extract_batches(base_url: str, run_id: str, options=None):
     """Returns a mapInArrow function: vectorized batch extraction.
 
     The pure-Python readability core runs per document *inside* the
     Arrow batch; only columnar Arrow buffers cross the JVM<->Python
     boundary (no per-row Python UDF, per BASELINE input_hint).
+    ``options`` is a picklable ReadabilityOptions shipped inside the
+    closure (e.g. classes_to_preserve for harness parity runs).
     """
 
     def extract_batches(batches):
@@ -133,7 +135,7 @@ def make_extract_batches(base_url: str, run_id: str):
             for row in rows:
                 t0 = time.perf_counter()
                 result = extract_document(
-                    row["doc_id"], row.get("spans") or [], base_url
+                    row["doc_id"], row.get("spans") or [], base_url, options
                 )
                 wall_ms = (time.perf_counter() - t0) * 1000.0
                 out["doc_id"].append(result["doc_id"])
@@ -183,6 +185,7 @@ def plan_extraction(
     heavy_threshold: int = DEFAULT_HEAVY_THRESHOLD,
     oversubscription: int = DEFAULT_TASK_OVERSUBSCRIPTION,
     assume_pre_partitioned: bool = False,
+    options=None,
 ) -> DataFrame:
     """Build the (lazy) extraction DataFrame with skew-aware routing.
 
@@ -199,7 +202,7 @@ def plan_extraction(
 
     ensure_package_on_workers(df.sparkSession)
 
-    extract = make_extract_batches(base_url, run_id)
+    extract = make_extract_batches(base_url, run_id, options)
     if assume_pre_partitioned:
         # shuffle elision for corpora already written with a sane
         # distribution (Iceberg bucket(N, doc_id) + hash write mode,
@@ -287,6 +290,7 @@ def run_extraction(
     run_id: str | None = None,
     resume: bool = True,
     heavy_threshold: int = DEFAULT_HEAVY_THRESHOLD,
+    options=None,
 ) -> str:
     """Execute the extraction job; returns the run_id.
 
@@ -310,7 +314,7 @@ def run_extraction(
     pending = pending.drop("partition_key")
 
     extracted = plan_extraction(
-        pending, base_url, run_id, n_partitions, heavy_threshold
+        pending, base_url, run_id, n_partitions, heavy_threshold, options=options
     )
     extracted.write.mode("append").parquet(output_path)
 

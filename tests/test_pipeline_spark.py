@@ -15,6 +15,8 @@ N_PARTITIONS = 8
 
 @pytest.fixture(scope="module")
 def extracted(spark, corpus_dir, tmp_path_factory):
+    from swift_readability_spark.core.readability import ReadabilityOptions
+
     out = tmp_path_factory.mktemp("run")
     docs = spark.read.parquet(corpus_dir + "/documents.parquet")
     run_id = run_extraction(
@@ -23,6 +25,9 @@ def extracted(spark, corpus_dir, tmp_path_factory):
         str(out / "extracted"),
         str(out / "lineage"),
         n_partitions=N_PARTITIONS,
+        # the reference harness preserves the caption class
+        # (ReadabilityTests.swift:23)
+        options=ReadabilityOptions(classes_to_preserve=("caption",)),
     )
     return {
         "run_id": run_id,
@@ -73,20 +78,28 @@ def test_spark_matches_pure_python(spark, corpus_dir, extracted):
 
 
 def test_fixture_parity_through_spark(spark, corpus_dir, extracted):
-    """Golden-span equality for a fixture that went through the full
-    distributed path."""
+    """Golden-span equality for ALL 130 fixtures that went through the
+    full distributed path (the same gate as the pure-Python suite, but
+    across the Arrow boundary and the shuffle)."""
     from swift_readability_spark.spans.compare import compare_spans
 
-    got = extracted["df"].filter(F.col("doc_id") == "remove-script-tags").collect()[0]
-    exp = (
-        spark.read.parquet(corpus_dir + "/expected_spans.parquet")
-        .filter(F.col("doc_id") == "remove-script-tags")
-        .collect()[0]
-    )
-    mism = compare_spans(
-        [s.asDict() for s in got["spans"]], [s.asDict() for s in exp["spans"]]
-    )
-    assert mism == []
+    got = {
+        r["doc_id"]: r["spans"]
+        for r in extracted["df"].filter(~F.col("doc_id").startswith("syn-")).collect()
+    }
+    expected = {
+        r["doc_id"]: r["spans"]
+        for r in spark.read.parquet(corpus_dir + "/expected_spans.parquet").collect()
+    }
+    assert set(got) == set(expected)
+    failures = []
+    for doc_id, spans in got.items():
+        mism = compare_spans(
+            [s.asDict() for s in spans], [s.asDict() for s in expected[doc_id]]
+        )
+        if mism:
+            failures.append((doc_id, mism[0][:120]))
+    assert failures == [], failures[:5]
 
 
 def test_lineage_covers_all_partitions(extracted):
