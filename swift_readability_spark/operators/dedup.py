@@ -316,3 +316,39 @@ QUERIES = {
     "simhash": (simhash, _simhash_sql()),
     "embedding_neardup_pairs": (embedding_neardup_pairs, NEARDUP_SQL),
 }
+
+
+def mllib_minhash_pairs(spark, sf_dir):
+    """Spark-ML variant of the LSH candidate stage: HashingTF shingle
+    vectors -> MinHashLSH.approxSimilarityJoin.  Demonstrates the
+    built-in distributed LSH (used at 10^9+ docs scale); rows-only
+    check — the hash family differs from the portable-md5 pipeline, so
+    there is no DuckDB-expressible oracle.  Deterministic via fixed
+    seed."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    d = read(spark, sf_dir, "documents")
+    shingled = d.selectExpr("doc_id", f"{_SPARK_WORDS} AS words").selectExpr(
+        "doc_id", f"{_SPARK_SHINGLES} AS shingles"
+    )
+    tf = HashingTF(
+        inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True
+    )
+    feats = tf.transform(shingled).filter(
+        "aggregate(shingles, 0, (a, x) -> a + CASE WHEN x <> '' THEN 1 ELSE 0 END) > 0"
+    )
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=4, seed=42)
+    model = lsh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, 0.8, distCol="jaccard_dist")
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.round("jaccard_dist", 4).alias("jaccard_dist"),
+        )
+        .distinct()
+    )
+
+
+QUERIES["mllib_minhash_pairs"] = (mllib_minhash_pairs, None)
