@@ -84,11 +84,11 @@ def _run_extraction(cores: int, sf_dir: str) -> tuple[float, int]:
         # warm-up pass: spawns+reuses the Python workers and JIT-warms
         # the JVM so the timed passes measure steady-state throughput
         # (mirrors the reference bench's --warmup iterations,
-        # SwiftReadabilityBench/main.swift:21-23); best-of-3 damps
+        # SwiftReadabilityBench/main.swift:21-23); best-of-2-per-session (x2 interleaved sessions) damps
         # shared-host noise
         sink.write.mode("overwrite").format("noop").save()
         wall = None
-        for _rep in range(3):
+        for _rep in range(2):
             t0 = time.perf_counter()
             sink.write.mode("overwrite").format("noop").save()
             w = time.perf_counter() - t0
