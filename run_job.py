@@ -35,6 +35,17 @@ def main() -> None:
         action="store_true",
         help="process via Structured Streaming Trigger.AvailableNow micro-batches",
     )
+    ap.add_argument(
+        "--heavy-threshold",
+        type=int,
+        default=None,
+        help="payload chars above which a doc is routed to its own partition",
+    )
+    ap.add_argument(
+        "--pre-partitioned",
+        action="store_true",
+        help="trust the input's existing distribution (bucketed corpus): no shuffle",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -55,6 +66,11 @@ def main() -> None:
         )
     else:
         documents = spark.read.parquet(args.input)
+        kwargs = {}
+        if args.heavy_threshold is not None:
+            kwargs["heavy_threshold"] = args.heavy_threshold
+        if args.pre_partitioned:
+            kwargs["assume_pre_partitioned"] = True
         run_id = run_extraction(
             spark,
             documents,
@@ -64,6 +80,7 @@ def main() -> None:
             n_partitions=args.partitions,
             run_id=args.run_id,
             resume=not args.no_resume,
+            **kwargs,
         )
         print(f"run_id={run_id}")
     spark.stop()

@@ -291,6 +291,7 @@ def run_extraction(
     resume: bool = True,
     heavy_threshold: int = DEFAULT_HEAVY_THRESHOLD,
     options=None,
+    assume_pre_partitioned: bool = False,
 ) -> str:
     """Execute the extraction job; returns the run_id.
 
@@ -314,7 +315,13 @@ def run_extraction(
     pending = pending.drop("partition_key")
 
     extracted = plan_extraction(
-        pending, base_url, run_id, n_partitions, heavy_threshold, options=options
+        pending,
+        base_url,
+        run_id,
+        n_partitions,
+        heavy_threshold,
+        options=options,
+        assume_pre_partitioned=assume_pre_partitioned,
     )
     extracted.write.mode("append").parquet(output_path)
 
