@@ -21,7 +21,6 @@ from __future__ import annotations
 
 import re
 from html import escape
-from html.parser import HTMLParser
 
 # --- whitespace semantics matching JS (String.prototype.trim / regex \s) ---
 # JS \s includes NBSP and BOM; Python's str.strip()/\s differ slightly.
@@ -445,6 +444,15 @@ class Document(Element):
 
 RAW_TEXT_TAGS = frozenset(("script", "style"))
 
+# attribute names that can be serialized losslessly; junk names parsed
+# out of invalid markup (e.g. <div "=""> ) are dropped on output, the
+# same way browsers' serializers never emit them
+_VALID_ATTR_NAME = re.compile(r'^[^\s"\'>/=\x00-\x1f\x7f]+$')
+
+
+def is_valid_attr_name(name: str) -> bool:
+    return bool(_VALID_ATTR_NAME.match(name))
+
 
 def _serialize(node: Node, buf: list[str]) -> None:
     if isinstance(node, TextNode):
@@ -468,6 +476,8 @@ def _serialize(node: Node, buf: list[str]) -> None:
     buf.append("<")
     buf.append(el.tag)
     for name, value in el.attrs.items():
+        if not is_valid_attr_name(name):
+            continue
         buf.append(" ")
         buf.append(name)
         buf.append('="')
@@ -488,11 +498,13 @@ def _serialize(node: Node, buf: list[str]) -> None:
 # --------------------------------------------------------------------------
 
 
-class _TreeBuilder(HTMLParser):
-    """HTML5-ish tree builder (implied structure + auto-close rules)."""
+class _TreeBuilder:
+    """HTML5-ish tree builder (implied structure + auto-close rules).
+
+    Fed by :mod:`.tokenizer` (a fast regex scanner with html.parser-
+    compatible callback semantics)."""
 
     def __init__(self, document_uri: str):
-        super().__init__(convert_charrefs=True)
         self.doc = Document(document_uri)
         self.stack: list[Element] = [self.doc]
         # modes: 0 before html, 1 before head, 2 in head, 3 after head/in body
@@ -725,9 +737,10 @@ class _TreeBuilder(HTMLParser):
 
 
 def parse_html(html: str, document_uri: str = "about:blank") -> Document:
+    from .tokenizer import tokenize
+
     builder = _TreeBuilder(document_uri)
-    builder.feed(html)
-    builder.close()
+    tokenize(html, builder)
     builder._ensure_body()
     return builder.doc
 

@@ -12,7 +12,15 @@ from __future__ import annotations
 
 from html import escape
 
-from .dom import Comment, Element, Node, RAW_TEXT_TAGS, TextNode, VOID_ELEMENTS
+from .dom import (
+    Comment,
+    Element,
+    Node,
+    RAW_TEXT_TAGS,
+    TextNode,
+    VOID_ELEMENTS,
+    is_valid_attr_name,
+)
 
 
 def serialize_html(el: Element, inner: bool = True) -> str:
@@ -39,6 +47,8 @@ def _xml_serialize(node: Node, buf: list[str]) -> None:
     buf.append("<")
     buf.append(el.tag)
     for name, value in el.attrs.items():
+        if not is_valid_attr_name(name):
+            continue
         # XML has no valueless attributes: promote booleans to
         # name="name" (itemscope="itemscope" parity case)
         if value == "":

@@ -1,0 +1,177 @@
+"""Fast HTML tokenizer driving the tree builder callbacks.
+
+A regex-scan replacement for :mod:`html.parser`'s ``goahead`` loop
+(~3x faster on the markup mix of the fixture corpus) that preserves
+the behaviors the tree builder relies on:
+
+- tag/attribute names lowercased; attribute values entity-unescaped;
+  valueless attributes reported as ``None`` values,
+- character references decoded in text (``html.unescape``, the same
+  routine ``convert_charrefs`` uses) but NOT inside script/style,
+- script/style content treated as raw text until the matching
+  ``</script``/``</style`` sequence (HTMLParser's CDATA mode),
+- comments (including unterminated ones at EOF), doctype and other
+  declarations, processing instructions, and stray ``<`` handled the
+  tolerant way browsers do.
+
+Parity with the previous stdlib-based parse is enforced by the
+130-fixture span gate and the property tests (totality + serialize/
+parse fixed point).
+"""
+
+from __future__ import annotations
+
+import re
+from html import unescape
+
+_ATTR = re.compile(
+    r"""\s*([^\s/>=]+)(\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]*)))?"""
+)
+_STARTTAG_NAME = re.compile(r"<([a-zA-Z][^\t\n\r\f />\x00]*)")
+_ENDTAG = re.compile(r"</\s*([a-zA-Z][^\t\n\r\f />\x00]*)[^>]*>")
+_RAW_CLOSE = {
+    "script": re.compile(r"</\s*script", re.I),
+    "style": re.compile(r"</\s*style", re.I),
+}
+
+
+def _parse_attrs(blob: str) -> tuple[list, bool]:
+    """Attribute list + self-closing flag.
+
+    A trailing ``/`` only self-closes when it is not absorbed into an
+    unquoted attribute value (``<a href=foo/>`` -> value ``foo/``),
+    matching the tolerant stdlib behavior.
+    """
+    attrs: list = []
+    pos = 0
+    n = len(blob)
+    while pos < n:
+        m = _ATTR.match(blob, pos)
+        if not m or not m.group(1):
+            break
+        name = m.group(1)
+        if name == "/" and m.group(2) is None and m.end() == n:
+            return attrs, True
+        name = name.lower()
+        if m.group(2) is None:
+            # bare attribute; strip any trailing self-close slash
+            if name.endswith("/") and m.end() == n:
+                name = name.rstrip("/")
+                if name:
+                    attrs.append((name, None))
+                return attrs, True
+            attrs.append((name, None))
+        else:
+            value = m.group(3)
+            if value is None:
+                value = m.group(4)
+            if value is None:
+                value = m.group(5) or ""
+            if "&" in value:
+                value = unescape(value)
+            attrs.append((name, value))
+        pos = m.end()
+    rest = blob[pos:].strip()
+    return attrs, rest == "/"
+
+
+def tokenize(html: str, builder) -> None:
+    """Scan ``html`` and invoke builder.handle_* callbacks."""
+    handle_data = builder.handle_data
+    handle_comment = builder.handle_comment
+    i = 0
+    n = len(html)
+    find = html.find
+    while i < n:
+        lt = find("<", i)
+        if lt < 0:
+            text = html[i:]
+            if text:
+                handle_data(unescape(text) if "&" in text else text)
+            break
+        if lt > i:
+            text = html[i:lt]
+            handle_data(unescape(text) if "&" in text else text)
+        nxt = html[lt + 1 : lt + 2]
+        if nxt == "!":
+            if html.startswith("<!--", lt):
+                end = find("-->", lt + 4)
+                if end < 0:
+                    handle_comment(html[lt + 4 :])
+                    break
+                handle_comment(html[lt + 4 : end])
+                i = end + 3
+            else:
+                # doctype / CDATA / bogus declaration: skip to '>'
+                end = find(">", lt)
+                if end < 0:
+                    break
+                i = end + 1
+        elif nxt == "/":
+            m = _ENDTAG.match(html, lt)
+            if m:
+                builder.handle_endtag(m.group(1).lower())
+                i = m.end()
+            else:
+                end = find(">", lt)
+                if end < 0:
+                    break
+                i = end + 1
+        elif nxt == "?":
+            end = find(">", lt)
+            if end < 0:
+                break
+            i = end + 1
+        else:
+            m = _STARTTAG_NAME.match(html, lt)
+            if not m:
+                # stray '<': literal text
+                handle_data("<")
+                i = lt + 1
+                continue
+            name = m.group(1).lower()
+            # find the tag end, honoring quoted attribute values.
+            # A quote only opens a value when it follows '=' (the HTML5
+            # tokenizer's before-attribute-value state) — a quote in
+            # name position (junk like <div "="">) is an ordinary char.
+            j = m.end()
+            tag_end = -1
+            pending_eq = False
+            while j < n:
+                ch = html[j]
+                if ch == ">":
+                    tag_end = j
+                    break
+                if (ch == '"' or ch == "'") and pending_eq:
+                    close_q = find(ch, j + 1)
+                    if close_q < 0:
+                        break
+                    j = close_q + 1
+                    pending_eq = False
+                elif ch == "=":
+                    pending_eq = True
+                    j += 1
+                elif ch in " \t\n\r\f":
+                    j += 1
+                else:
+                    pending_eq = False
+                    j += 1
+            if tag_end < 0:
+                # unterminated tag at EOF: drop it (tolerant)
+                break
+            attrs, self_closing = _parse_attrs(html[m.end() : tag_end])
+            if self_closing:
+                builder.handle_startendtag(name, attrs)
+            else:
+                builder.handle_starttag(name, attrs)
+            i = tag_end + 1
+            if not self_closing and name in _RAW_CLOSE:
+                close = _RAW_CLOSE[name].search(html, i)
+                if close is None:
+                    data = html[i:]
+                    if data:
+                        handle_data(data)
+                    break
+                if close.start() > i:
+                    handle_data(html[i : close.start()])
+                i = close.start()

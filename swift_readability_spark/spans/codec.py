@@ -150,9 +150,13 @@ def _serialize_spans(
             }
         )
         return
+    from ..core.dom import is_valid_attr_name
+
     buf.append("<")
     buf.append(el.tag)
     for name, value in el.attrs.items():
+        if not is_valid_attr_name(name):
+            continue
         buf.append(f' {name}="{escape(value, quote=True)}"')
     buf.append(">")
     from ..core.dom import VOID_ELEMENTS
