@@ -67,11 +67,19 @@ HEAD_ONLY_TAGS = frozenset("title base link meta style script noscript template"
 TABLE_SECTIONS = frozenset(("tbody", "thead", "tfoot"))
 
 
-# Global mutation epoch: bumped on every tree mutation.  Per-node text
-# caches are valid only for the epoch they were computed in — the same
-# conservative invalidation scheme as the reference's mutation-version
-# tokens (Helpers.swift:20-25, ArticleGrabber.swift:173-176).
-_EPOCH = [0]
+def _invalidate_ancestors(node: "Node | None") -> None:
+    """Clear the text/link-density caches of ``node`` and every
+    ancestor.  Caches depend only on the subtree below a node, so a
+    mutation invalidates exactly the chain to the root — unrelated
+    subtrees keep their caches (the reference's mutation-version
+    scheme, Helpers.swift:20-25, made precise).  No early-exit on an
+    already-invalid node: its ancestors may have been revalidated
+    since."""
+    cur = node
+    while cur is not None:
+        if cur.IS_ELEMENT:
+            cur._c_valid = False
+        cur = cur.parent
 
 
 class Node:
@@ -87,7 +95,7 @@ class Node:
         if p is not None:
             p.children.remove(self)
             self.parent = None
-            _EPOCH[0] += 1
+            _invalidate_ancestors(p)
 
     @property
     def next_sibling(self) -> "Node | None":
@@ -155,7 +163,7 @@ class Comment(Node):
 class Element(Node):
     __slots__ = (
         "tag", "attrs", "children", "readability", "_data_table",
-        "_c_epoch", "_c_text", "_c_inner", "_c_ld",
+        "_c_valid", "_c_text", "_c_inner", "_c_ld",
     )
 
     IS_ELEMENT = True
@@ -165,10 +173,10 @@ class Element(Node):
         self.tag = tag
         self.attrs: dict[str, str] = attrs if attrs is not None else {}
         self.children: list[Node] = []
-        self._c_epoch = -1
+        self._c_valid = False
         self._c_text = None
         self._c_inner = None
-        self._c_ld = None  # (epoch, link_density)
+        self._c_ld = None
         # per-node extraction state (content score dict / data-table mark);
         # plays the role of the reference's identity-keyed side tables
         # (ArticleGrabber.swift:171-176)
@@ -210,7 +218,7 @@ class Element(Node):
             node.remove()
         node.parent = self
         self.children.append(node)
-        _EPOCH[0] += 1
+        _invalidate_ancestors(self)
 
     def insert_before(self, node: Node, ref: Node | None) -> None:
         if node.parent is not None:
@@ -220,7 +228,7 @@ class Element(Node):
             self.children.append(node)
         else:
             self.children.insert(self.children.index(ref), node)
-        _EPOCH[0] += 1
+        _invalidate_ancestors(self)
 
     def replace_child(self, new: Node, old: Node) -> None:
         idx = self.children.index(old)
@@ -229,7 +237,7 @@ class Element(Node):
         new.parent = self
         self.children[idx] = new
         old.parent = None
-        _EPOCH[0] += 1
+        _invalidate_ancestors(self)
 
     @property
     def first_child(self) -> Node | None:
@@ -299,8 +307,7 @@ class Element(Node):
 
     @property
     def text_content(self) -> str:
-        ep = _EPOCH[0]
-        if self._c_epoch == ep:
+        if self._c_valid:
             return self._c_text
         parts = []
         stack = list(reversed(self.children))
@@ -313,9 +320,10 @@ class Element(Node):
             elif node.IS_ELEMENT:
                 extend(reversed(node.children))
         value = "".join(parts)
-        self._c_epoch = ep
         self._c_text = value
         self._c_inner = None
+        self._c_ld = None
+        self._c_valid = True
         return value
 
     def inner_text(self, normalize: bool = True) -> str:

@@ -175,12 +175,16 @@ class Grabber:
                 return article
 
             # failed attempt: restore the page and relax one flag
+            # (direct children surgery: invalidate the chain manually)
+            from .dom import _invalidate_ancestors
+
             page = doc.body
             page.children = []
             for c in snapshot:
                 cc = c.clone()
                 cc.parent = page
                 page.children.append(cc)
+            _invalidate_ancestors(page)
             self.attempts.append((article, text_length))
 
             if self.flag_strip_unlikelys:

@@ -58,15 +58,11 @@ def get_char_count(node: Node, pattern=R.COMMAS) -> int:
 
 
 def get_link_density(element: Element) -> float:
-    # memoized per mutation epoch (the reference's LinkDensityCache,
-    # ArticleGrabber.swift:173-176)
-    from .dom import _EPOCH
-
-    ep = _EPOCH[0]
-    cached = element._c_ld
-    if cached is not None and cached[0] == ep:
-        return cached[1]
-    text_length = len(get_inner_text(element))
+    # memoized with ancestor-propagating invalidation (the reference's
+    # LinkDensityCache, ArticleGrabber.swift:173-176)
+    if element._c_valid and element._c_ld is not None:
+        return element._c_ld
+    text_length = len(get_inner_text(element))  # (re)validates the node
     if text_length == 0:
         density = 0.0
     else:
@@ -76,7 +72,7 @@ def get_link_density(element: Element) -> float:
             coefficient = 0.3 if href and R.HASH_URL.match(href) else 1.0
             link_length += len(get_inner_text(a)) * coefficient
         density = link_length / text_length
-    element._c_ld = (ep, density)
+    element._c_ld = density
     return density
 
 

@@ -79,3 +79,51 @@ def test_extractor_total_on_plain_text(text):
     spans = [{"kind": "text", "text": text, "media_ref": None, "offset": 0}]
     result = extract_document("t", spans, "http://fakehost/x")
     assert result["doc_id"] == "t"
+
+
+@SETTINGS
+@given(st.lists(st.tuples(st.integers(0, 5), st.integers(0, 3)), max_size=12))
+def test_text_cache_coherent_under_mutation(ops):
+    """Random tree mutations must never leave a stale text/link cache:
+    cached reads always equal a fresh uncached computation."""
+    from swift_readability_spark.core.dom import Element, TextNode
+
+    root = parse_html(
+        "<body><div id='a'><p>alpha one</p><p>beta two</p></div>"
+        "<div id='b'><span>gamma</span><a href='/x'>link text</a></div>"
+        "<div id='c'>tail words</div></body>"
+    ).body
+
+    def fresh_text(el):
+        parts = []
+        stack = list(el.children)
+        while stack:
+            n = stack.pop(0)
+            if n.IS_TEXT:
+                parts.append(n.data)
+            elif n.IS_ELEMENT:
+                stack = list(n.children) + stack
+        return "".join(parts)
+
+    def all_elements():
+        return [root] + [n for n in root.iter_subtree() if n.IS_ELEMENT]
+
+    # warm every cache
+    for el in all_elements():
+        _ = el.text_content
+
+    for target_i, action in ops:
+        els = all_elements()
+        el = els[target_i % len(els)]
+        if action == 0 and el is not root:
+            el.remove()
+        elif action == 1:
+            el.append_child(TextNode("x"))
+        elif action == 2:
+            child = Element("span")
+            child.append_child(TextNode("y"))
+            el.insert_before(child, el.first_child)
+        else:
+            _ = el.text_content  # interleave reads
+        for check in all_elements():
+            assert check.text_content == fresh_text(check)
