@@ -220,6 +220,13 @@ class Element(Node):
         self.children.append(node)
         _invalidate_ancestors(self)
 
+    def _append_fresh(self, node: Node) -> None:
+        """Construction-time append: the node is fresh and no cache in
+        this document has been computed yet, so skip the invalidation
+        walk (used only by the tree builder and clone)."""
+        node.parent = self
+        self.children.append(node)
+
     def insert_before(self, node: Node, ref: Node | None) -> None:
         if node.parent is not None:
             node.remove()
@@ -529,7 +536,7 @@ class _TreeBuilder:
             if name not in attrs:  # HTML5: first duplicate attribute wins
                 attrs[name] = value if value is not None else ""
         el = Element(tag, attrs)
-        self.top.append_child(el)
+        self.top._append_fresh(el)
         return el
 
     def _push(self, el: Element) -> None:
@@ -716,10 +723,10 @@ class _TreeBuilder:
         if self.mode < 3:
             if RE_ALL_WS.match(data):
                 if self.mode == 2 and self.top.tag in RAW_TEXT_TAGS:
-                    self.top.append_child(TextNode(data))
+                    self.top._append_fresh(TextNode(data))
                 return
             if self.mode == 2 and self.top.tag in HEAD_ONLY_TAGS:
-                self.top.append_child(TextNode(data))
+                self.top._append_fresh(TextNode(data))
                 return
             self._ensure_body()
         top = self.top
@@ -727,15 +734,15 @@ class _TreeBuilder:
         if isinstance(last, TextNode):
             last.data += data
         else:
-            top.append_child(TextNode(data))
+            top._append_fresh(TextNode(data))
 
     def handle_comment(self, data):
         if self.mode < 2:
             self._ensure_html()
             # comments between html and head attach to html
-            self.stack[1].append_child(Comment(data))
+            self.stack[1]._append_fresh(Comment(data))
             return
-        self.top.append_child(Comment(data))
+        self.top._append_fresh(Comment(data))
 
     def handle_decl(self, decl):
         pass

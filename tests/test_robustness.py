@@ -105,3 +105,13 @@ def test_mega_document_isolated_and_extracted(spark):
     assert by_id["mega"]["error"] is None
     assert by_id["mega"]["text_length"] > 1_000_000
     assert all(by_id[f"small-{i}"]["error"] is None for i in range(20))
+
+
+def test_pathologically_deep_document_contained():
+    """A 5000-deep nested document must produce a row (error or empty),
+    never an uncaught RecursionError."""
+    deep = "<html><body>" + "<div>" * 5000 + "text" + "</div>" * 5000 + "</body></html>"
+    spans = [{"kind": "text", "text": deep, "media_ref": None, "offset": 0}]
+    result = extract_document("deep", spans, "http://fakehost/x")
+    assert result["doc_id"] == "deep"
+    assert result["error"] is None or "Error" in result["error"] or "error" in result["error"]
