@@ -440,3 +440,43 @@ GROUP BY user_id, session_id
 """
 
 QUERIES["sessionize_events"] = (sessionize_events, SESSIONIZE_SQL)
+
+
+def user_event_type_map(spark, sf_dir):
+    """Map-function class (SURVEY §2.8 map_filter/map demos): per-user
+    map of event_type -> count, then a keyed lookup out of the map."""
+    e = read(spark, sf_dir, "events")
+    counts = e.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    return (
+        counts.groupBy("user_id")
+        .agg(
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("event_type", "n")))
+            ).alias("em")
+        )
+        .select(
+            "user_id",
+            F.coalesce(F.element_at("em", F.lit("click")), F.lit(0))
+            .cast("bigint")
+            .alias("click_events"),
+            F.size("em").cast("bigint").alias("distinct_types"),
+        )
+    )
+
+
+USER_EVENT_MAP_SQL = """
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2
+),
+m AS (
+  SELECT user_id, map_from_entries(list({'k': event_type, 'v': n})) AS em,
+         count(*) AS distinct_types
+  FROM c GROUP BY user_id
+)
+SELECT user_id,
+       CAST(coalesce(em['click'][1], 0) AS BIGINT) AS click_events,
+       CAST(distinct_types AS BIGINT) AS distinct_types
+FROM m
+"""
+
+QUERIES["user_event_type_map"] = (user_event_type_map, USER_EVENT_MAP_SQL)
