@@ -480,3 +480,73 @@ FROM m
 """
 
 QUERIES["user_event_type_map"] = (user_event_type_map, USER_EVENT_MAP_SQL)
+
+
+def q18_large_volume_customers(spark, sf_dir):
+    """TPC-H Q18 shape: correlated aggregate subquery via semi-join on
+    a grouped HAVING, then join back for detail rows."""
+    o = read(spark, sf_dir, "orders")
+    l = read(spark, sf_dir, "lineitem")
+    c = read(spark, sf_dir, "customer")
+    big_orders = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        o.join(big_orders, o.o_orderkey == big_orders.l_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            F.round("total_qty", 2).alias("total_qty"),
+        )
+    )
+
+
+Q18_SQL = """
+SELECT c_name, o_orderkey, round(o_totalprice, 2) AS totalprice,
+       round(total_qty, 2) AS total_qty
+FROM orders
+JOIN (SELECT l_orderkey, sum(l_quantity) AS total_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150) b
+  ON o_orderkey = b.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def arrays_setops_demo(spark, sf_dir):
+    """Array set operations (§2.6 demos: array_except/intersect/union)
+    over per-document token arrays vs a fixed stopword list."""
+    d = read(spark, sf_dir, "documents")
+    stop = "array('the','a','and','of','to','in')"
+    toks = (
+        "array_distinct(filter(split(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ')),"
+        " ' +'), x -> x <> ''))"
+    )
+    return d.selectExpr(
+        "doc_id",
+        f"CAST(size(array_intersect({toks}, {stop})) AS BIGINT) AS stopwords_present",
+        f"CAST(size(array_except({toks}, {stop})) AS BIGINT) AS content_tokens",
+        f"CAST(size(array_union({toks}, {stop})) AS BIGINT) AS union_size",
+    )
+
+
+ARRAYS_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         list_distinct(list_filter(string_split_regex(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g')), ' +'),
+                                   x -> x <> '')) AS toks,
+         ['the','a','and','of','to','in'] AS stop
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(list_intersect(toks, stop)) AS BIGINT) AS stopwords_present,
+       CAST(len(list_filter(toks, x -> NOT list_contains(stop, x))) AS BIGINT) AS content_tokens,
+       CAST(len(list_distinct(list_concat(toks, stop))) AS BIGINT) AS union_size
+FROM t
+"""
+
+QUERIES["q18_large_volume_customers"] = (q18_large_volume_customers, Q18_SQL)
+QUERIES["arrays_setops_demo"] = (arrays_setops_demo, ARRAYS_SQL)
