@@ -320,3 +320,56 @@ FROM t, r
 """
 
 QUERIES["token_set_similarity"] = (token_set_similarity, TOKEN_SET_SIMILARITY_SQL)
+
+
+def curation_pipeline(spark, sf_dir):
+    """End-to-end training-data curation over ``documents``: language
+    gate (marker-based lang id agrees with the labeled lang), quality
+    gate, then exact dedup keeping the lowest doc_id per content hash.
+    The composition every large-scale text pipeline runs; each stage is
+    individually oracled above, and the composition is oracled here."""
+    ident = lang_id(spark, sf_dir).filter(F.col("lang_pred") == F.col("lang"))
+    quality = quality_score(spark, sf_dir).filter(F.col("quality") >= 0.5)
+    d = read(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    hashed = d.select("doc_id", F.md5(norm).alias("content_hash"))
+    from pyspark.sql.window import Window
+
+    surviving = (
+        hashed.join(ident.select("doc_id"), "doc_id", "left_semi")
+        .join(quality.select("doc_id"), "doc_id", "left_semi")
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("content_hash").orderBy("doc_id")
+            ),
+        )
+        .filter(F.col("rank") == 1)
+        .select("doc_id", "content_hash")
+    )
+    return surviving
+
+
+CURATION_SQL = f"""
+WITH ident AS ({LANG_ID_SQL.replace(';', '')}),
+q AS ({QUALITY_SQL.replace(';', '')}),
+hashed AS (
+  SELECT doc_id,
+         md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS content_hash
+  FROM documents
+),
+gated AS (
+  SELECT h.doc_id, h.content_hash
+  FROM hashed h
+  WHERE h.doc_id IN (SELECT doc_id FROM ident WHERE lang_pred = lang)
+    AND h.doc_id IN (SELECT doc_id FROM q WHERE quality >= 0.5)
+)
+SELECT doc_id, content_hash
+FROM (
+  SELECT doc_id, content_hash,
+         row_number() OVER (PARTITION BY content_hash ORDER BY doc_id) AS rank
+  FROM gated
+) WHERE rank = 1
+"""
+
+QUERIES["curation_pipeline"] = (curation_pipeline, CURATION_SQL)
