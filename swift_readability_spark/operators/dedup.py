@@ -78,17 +78,31 @@ GROUP BY 1
 """
 
 
+# universal-hash permutation constants: perm_k(h) = (A_k*h + B_k) mod P
+# over the 32-bit base hash — one md5 per shingle instead of N_PERMS,
+# identical arithmetic in both engines (fits in int64: A < 2^20,
+# h < 2^32 -> A*h + B < 2^53)
+_MINHASH_P = 4294967311  # prime > 2^32
+_MINHASH_A = (998377, 811823, 651439, 527581, 423037, 342049, 276197, 223409)
+_MINHASH_B = (12721, 29363, 47563, 65537, 83701, 104729, 122887, 141079)
+
+
 def minhash_signatures(spark, sf_dir):
-    """MinHash signatures (8 permutations) over 3-word shingles."""
+    """MinHash signatures (8 universal-hash permutations of a single
+    portable 32-bit shingle hash) over 3-word shingles."""
     d = read(spark, sf_dir, "documents")
-    out = d.selectExpr("doc_id", f"{_SPARK_WORDS} AS words").selectExpr(
-        "doc_id", f"{_SPARK_SHINGLES} AS shingles"
+    out = (
+        d.selectExpr("doc_id", f"{_SPARK_WORDS} AS words")
+        .selectExpr("doc_id", f"{_SPARK_SHINGLES} AS shingles")
+        .selectExpr(
+            "doc_id",
+            "transform(shingles, s -> " + _spark_hash("s") + ") AS hashes",
+        )
     )
     mins = [
         F.expr(
-            "array_min(transform(shingles, s -> "
-            + _spark_hash(f"concat('{k}:', s)")
-            + "))"
+            f"array_min(transform(hashes, h ->"
+            f" ({_MINHASH_A[k]}L * h + {_MINHASH_B[k]}L) % {_MINHASH_P}L))"
         ).alias(f"mh{k}")
         for k in range(N_PERMS)
     ]
@@ -97,17 +111,17 @@ def minhash_signatures(spark, sf_dir):
 
 def _minhash_sql() -> str:
     mins = ",\n       ".join(
-        "list_min(list_transform(shingles, s -> "
-        + _duck_hash(f"concat('{k}:', s)")
-        + f")) AS mh{k}"
+        f"list_min(list_transform(hashes, h ->"
+        f" ({_MINHASH_A[k]} * h + {_MINHASH_B[k]}) % {_MINHASH_P})) AS mh{k}"
         for k in range(N_PERMS)
     )
     return f"""
 WITH w AS (SELECT doc_id, {_DUCK_WORDS} AS words FROM documents),
-s AS (SELECT doc_id, {_DUCK_SHINGLES} AS shingles FROM w)
+s AS (SELECT doc_id, {_DUCK_SHINGLES} AS shingles FROM w),
+h AS (SELECT doc_id, list_transform(shingles, s -> {_duck_hash('s')}) AS hashes FROM s)
 SELECT doc_id,
        {mins}
-FROM s
+FROM h
 """
 
 
