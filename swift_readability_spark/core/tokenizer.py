@@ -28,6 +28,10 @@ _ATTR = re.compile(
     r"""\s*([^\s/>=]+)(\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]*)))?"""
 )
 _STARTTAG_NAME = re.compile(r"<([a-zA-Z][^\t\n\r\f />\x00]*)")
+# everything up to the tag-closing '>': plain runs, '='-introduced
+# quoted values, bare '=', and stray quotes (ordinary chars in name
+# position, per the HTML5 before-attribute-value rule)
+_TAG_END = re.compile(r"""(?:[^>"'=]+|=\s*"[^"]*"|=\s*'[^']*'|=|"|')*>""")
 _ENDTAG = re.compile(r"</\s*([a-zA-Z][^\t\n\r\f />\x00]*)[^>]*>")
 _RAW_CLOSE = {
     "script": re.compile(r"</\s*script", re.I),
@@ -42,6 +46,8 @@ def _parse_attrs(blob: str) -> tuple[list, bool]:
     unquoted attribute value (``<a href=foo/>`` -> value ``foo/``),
     matching the tolerant stdlib behavior.
     """
+    if not blob or blob.isspace():
+        return [], False
     attrs: list = []
     pos = 0
     n = len(blob)
@@ -134,31 +140,11 @@ def tokenize(html: str, builder) -> None:
             # A quote only opens a value when it follows '=' (the HTML5
             # tokenizer's before-attribute-value state) — a quote in
             # name position (junk like <div "="">) is an ordinary char.
-            j = m.end()
-            tag_end = -1
-            pending_eq = False
-            while j < n:
-                ch = html[j]
-                if ch == ">":
-                    tag_end = j
-                    break
-                if (ch == '"' or ch == "'") and pending_eq:
-                    close_q = find(ch, j + 1)
-                    if close_q < 0:
-                        break
-                    j = close_q + 1
-                    pending_eq = False
-                elif ch == "=":
-                    pending_eq = True
-                    j += 1
-                elif ch in " \t\n\r\f":
-                    j += 1
-                else:
-                    pending_eq = False
-                    j += 1
-            if tag_end < 0:
+            te = _TAG_END.match(html, m.end())
+            if te is None:
                 # unterminated tag at EOF: drop it (tolerant)
                 break
+            tag_end = te.end() - 1
             attrs, self_closing = _parse_attrs(html[m.end() : tag_end])
             if self_closing:
                 builder.handle_startendtag(name, attrs)
