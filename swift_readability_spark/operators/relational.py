@@ -550,3 +550,67 @@ FROM t
 
 QUERIES["q18_large_volume_customers"] = (q18_large_volume_customers, Q18_SQL)
 QUERIES["arrays_setops_demo"] = (arrays_setops_demo, ARRAYS_SQL)
+
+
+def asof_last_purchase(spark, sf_dir):
+    """As-of join (SURVEY §2.5): each event paired with the most recent
+    prior-or-equal 'purchase' by the same user — the carry-forward
+    window formulation, which at scale is a single sort within the
+    user partition instead of an inequality join."""
+    e = read(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    asof_ts = F.last(
+        F.when(F.col("event_type") == "purchase", F.col("ts")), ignorenulls=True
+    ).over(w)
+    return e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        asof_ts.alias("asof_purchase_ts"),
+    )
+
+
+ASOF_SQL = """
+SELECT event_id, user_id, event_type,
+       last_value(CASE WHEN event_type = 'purchase' THEN ts END IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS asof_purchase_ts
+FROM events
+"""
+
+QUERIES["asof_last_purchase"] = (asof_last_purchase, ASOF_SQL)
+
+
+def events_range_join_buckets(spark, sf_dir):
+    """Range join (SURVEY §2.5): events matched to value-range buckets
+    via an inequality join against a tiny broadcast bucket table."""
+    e = read(spark, sf_dir, "events")
+    buckets = spark.createDataFrame(
+        [(0, 0.0, 100.0), (1, 100.0, 300.0), (2, 300.0, 700.0), (3, 700.0, 10e9)],
+        "bucket_id INT, lo DOUBLE, hi DOUBLE",
+    )
+    return (
+        e.join(
+            F.broadcast(buckets),
+            (e.value >= buckets.lo) & (e.value < buckets.hi),
+        )
+        .groupBy("bucket_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+
+
+RANGE_JOIN_SQL = """
+WITH buckets(bucket_id, lo, hi) AS (
+  VALUES (0, 0.0, 100.0), (1, 100.0, 300.0), (2, 300.0, 700.0), (3, 700.0, 10e9)
+)
+SELECT bucket_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM events JOIN buckets ON value >= lo AND value < hi
+GROUP BY bucket_id
+"""
+
+QUERIES["events_range_join_buckets"] = (events_range_join_buckets, RANGE_JOIN_SQL)
