@@ -30,8 +30,24 @@ _ATTR = re.compile(
 _STARTTAG_NAME = re.compile(r"<([a-zA-Z][^\t\n\r\f />\x00]*)")
 # everything up to the tag-closing '>': plain runs, '='-introduced
 # quoted values, bare '=', and stray quotes (ordinary chars in name
-# position, per the HTML5 before-attribute-value rule)
-_TAG_END = re.compile(r"""(?:[^>"'=]+|=\s*"[^"]*"|=\s*'[^']*'|=|"|')*>""")
+# position, per the HTML5 before-attribute-value rule).
+#
+# Linear-time by construction: every quantifier is possessive (no
+# backtracking states are kept) and the alternatives are disjoint at
+# each position — a '=' matches the quoted-value branch iff a complete
+# quoted value follows, else the bare-'=' branch via its negative
+# lookahead.  The earlier overlapping form (bare '=' and bare '"' both
+# able to re-parse a quoted value) backtracked exponentially on a
+# document truncated inside a start tag: ~28 quoted attributes was
+# already a >10s hang, doubling per attribute.
+#
+# An '='-introduced quote with no closing quote matches NO branch, so
+# the whole match fails -> tokenize() drops the tag and everything
+# after it (the drop-to-EOF recovery of the pre-regex scanner and the
+# HTML5/stdlib tokenizers).
+_TAG_END = re.compile(
+    r"""(?:[^>"'=]++|=\s*+(?:"[^"]*+"|'[^']*+')|=(?!\s*["'])|"|')*+>"""
+)
 _ENDTAG = re.compile(r"</\s*([a-zA-Z][^\t\n\r\f />\x00]*)[^>]*>")
 _RAW_CLOSE = {
     "script": re.compile(r"</\s*script", re.I),
@@ -142,7 +158,9 @@ def tokenize(html: str, builder) -> None:
             # name position (junk like <div "="">) is an ordinary char.
             te = _TAG_END.match(html, m.end())
             if te is None:
-                # unterminated tag at EOF: drop it (tolerant)
+                # unterminated tag at EOF, or an '='-introduced quoted
+                # value that never closes: consume to EOF and drop the
+                # tag (stdlib/HTML5 recovery)
                 break
             tag_end = te.end() - 1
             attrs, self_closing = _parse_attrs(html[m.end() : tag_end])
