@@ -230,9 +230,17 @@ def plan_extraction(
     return routed.mapInArrow(extract, EXTRACTED_SCHEMA)
 
 
-def lineage_from_output(extracted: DataFrame, started_at) -> DataFrame:
+def lineage_from_output(extracted: DataFrame, started_at, n_partitions: int) -> DataFrame:
     """Per-partition lineage: doc count, order-insensitive checksum,
-    wall time.  Pure DataFrame aggregation (map-side partial + final)."""
+    wall time.  Pure DataFrame aggregation (map-side partial + final).
+
+    ``n_partitions`` — the partition-key domain the run used — is
+    recorded on every lineage row: resume anti-joins on
+    ``pmod(xxhash64(doc_id), n_partitions)``, so a resume at a
+    different parallelism would silently compare keys from different
+    domains (skipping uncommitted documents or redoing committed ones).
+    Persisting the domain lets ``run_extraction`` recompute keys in the
+    recorded domain (or fail loudly on an explicit mismatch)."""
     doc_hash = F.sha2(
         F.concat_ws(
             "\x1f", F.col("doc_id"), F.coalesce(F.to_json(F.col("spans")), F.lit(""))
@@ -251,6 +259,7 @@ def lineage_from_output(extracted: DataFrame, started_at) -> DataFrame:
         )
         .withColumn("started_at", F.lit(started_at).cast("timestamp"))
         .withColumn("finished_at", F.current_timestamp())
+        .withColumn("n_partitions", F.lit(int(n_partitions)))
         .withColumnRenamed("partition_key", "partition_id")
     )
 
@@ -273,11 +282,38 @@ def read_committed(
 
 def committed_keys(spark: SparkSession, lineage_path: str) -> DataFrame | None:
     """Partition keys already committed by any previous run."""
+    state = committed_state(spark, lineage_path)
+    return state[0] if state else None
+
+
+def committed_state(
+    spark: SparkSession, lineage_path: str
+) -> tuple[DataFrame, int | None] | None:
+    """(committed partition keys, recorded key domain) or None.
+
+    The second element is the ``n_partitions`` every committed run used
+    (None for legacy lineage written before the column existed).
+    Multiple distinct recorded domains mean the lineage is corrupt —
+    anti-joining against a mixed domain can never be correct — so that
+    raises instead of guessing."""
     try:
         lineage = spark.read.parquet(lineage_path)
     except Exception:  # noqa: BLE001 - first run: no lineage yet
         return None
-    return lineage.select(F.col("partition_id").alias("partition_key")).distinct()
+    keys = lineage.select(F.col("partition_id").alias("partition_key")).distinct()
+    if "n_partitions" not in lineage.columns:
+        return keys, None
+    domains = [
+        r[0]
+        for r in lineage.select("n_partitions").distinct().collect()
+        if r[0] is not None
+    ]
+    if len(domains) > 1:
+        raise ValueError(
+            f"lineage at {lineage_path} mixes partition-key domains "
+            f"{sorted(domains)}; resume cannot anti-join across domains"
+        )
+    return keys, (int(domains[0]) if domains else None)
 
 
 def run_extraction(
@@ -303,15 +339,36 @@ def run_extraction(
     where both appends share a transaction.
     """
     run_id = run_id or uuid.uuid4().hex[:12]
-    if n_partitions is None:
-        n_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
     started_at = time.strftime("%Y-%m-%d %H:%M:%S", time.gmtime())
 
-    pending = with_partition_key(documents, n_partitions)
+    done = None
     if resume:
-        done = committed_keys(spark, lineage_path)
-        if done is not None:
-            pending = pending.join(F.broadcast(done), "partition_key", "left_anti")
+        state = committed_state(spark, lineage_path)
+        if state is not None:
+            done, recorded = state
+            if recorded is not None:
+                if n_partitions is not None and n_partitions != recorded:
+                    raise ValueError(
+                        f"resume requested n_partitions={n_partitions} but the "
+                        f"lineage at {lineage_path} was committed with "
+                        f"n_partitions={recorded}; the anti-join key domains "
+                        "would differ (silently skipping or redoing work). "
+                        "Pass the recorded value, or resume=False."
+                    )
+                # adopt the committed domain so resume keys line up
+                n_partitions = recorded
+            elif n_partitions is None:
+                raise ValueError(
+                    f"lineage at {lineage_path} predates n_partitions "
+                    "recording; pass the original n_partitions explicitly "
+                    "(or resume=False)"
+                )
+    if n_partitions is None:
+        n_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    pending = with_partition_key(documents, n_partitions)
+    if done is not None:
+        pending = pending.join(F.broadcast(done), "partition_key", "left_anti")
     pending = pending.drop("partition_key")
 
     extracted = plan_extraction(
@@ -323,10 +380,14 @@ def run_extraction(
         options=options,
         assume_pre_partitioned=assume_pre_partitioned,
     )
-    extracted.write.mode("append").parquet(output_path)
+    # partitionBy(run_id): the commit pass below and any later
+    # read_committed filter prune to THIS run's files instead of
+    # rescanning every historical append (at 10^12 docs the output is
+    # far bigger than any single run's slice)
+    extracted.write.mode("append").partitionBy("run_id").parquet(output_path)
 
     committed = spark.read.parquet(output_path).filter(F.col("run_id") == run_id)
-    lineage_from_output(committed, started_at).write.mode("append").parquet(
-        lineage_path
-    )
+    lineage_from_output(committed, started_at, n_partitions).write.mode(
+        "append"
+    ).parquet(lineage_path)
     return run_id

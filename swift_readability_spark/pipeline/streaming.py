@@ -60,14 +60,14 @@ def run_extraction_stream(
         extracted = plan_extraction(
             batch_df, base_url, f"{run_id}-{batch_id}", n_partitions
         )
-        extracted.write.mode("append").parquet(output_path)
+        extracted.write.mode("append").partitionBy("run_id").parquet(output_path)
         committed = (
             batch_df.sparkSession.read.parquet(output_path)
             .where(f"run_id = '{run_id}-{batch_id}'")
         )
-        lineage_from_output(committed, started_at).write.mode("append").parquet(
-            lineage_path
-        )
+        lineage_from_output(committed, started_at, n_partitions).write.mode(
+            "append"
+        ).parquet(lineage_path)
 
     query = (
         stream.writeStream.foreachBatch(process_batch)

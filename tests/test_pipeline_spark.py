@@ -117,11 +117,39 @@ def test_partition_key_stability(spark, corpus_dir):
 
 
 def test_checksum_deterministic(spark, extracted):
-    l1 = lineage_from_output(extracted["df"], "2026-01-01 00:00:00")
-    l2 = lineage_from_output(extracted["df"], "2026-01-01 00:00:00")
+    l1 = lineage_from_output(extracted["df"], "2026-01-01 00:00:00", N_PARTITIONS)
+    l2 = lineage_from_output(extracted["df"], "2026-01-01 00:00:00", N_PARTITIONS)
     c1 = {r["partition_id"]: r["checksum"] for r in l1.collect()}
     c2 = {r["partition_id"]: r["checksum"] for r in l2.collect()}
     assert c1 == c2
+
+
+def test_lineage_records_key_domain(extracted):
+    domains = {r["n_partitions"] for r in extracted["lineage"].collect()}
+    assert domains == {N_PARTITIONS}
+
+
+def test_output_is_partitioned_by_run_id(spark, extracted):
+    """partitionBy(run_id): the commit/read-back filter prunes to one
+    run's files instead of rescanning all historical output."""
+    import os
+
+    subdirs = [
+        d
+        for d in os.listdir(extracted["out"] + "/extracted")
+        if d.startswith("run_id=")
+    ]
+    assert subdirs == [f"run_id={extracted['run_id']}"]
+    plan = (
+        spark.read.parquet(extracted["out"] + "/extracted")
+        .filter(F.col("run_id") == extracted["run_id"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters: [" in plan and "run_id" in plan.split(
+        "PartitionFilters:"
+    )[1].split("]")[0]
 
 
 def test_resume_skips_committed_and_completes(spark, corpus_dir, tmp_path_factory):
@@ -165,6 +193,37 @@ def test_resume_skips_committed_and_completes(spark, corpus_dir, tmp_path_factor
         n_partitions=N_PARTITIONS,
     )
     assert spark.read.parquet(str(out / "extracted")).count() == docs.count()
+
+
+def test_resume_rejects_mismatched_key_domain(spark, corpus_dir, tmp_path_factory):
+    """Resuming with a different n_partitions must fail loudly: the
+    anti-join would compare keys from different pmod domains and
+    silently skip or redo documents."""
+    out = tmp_path_factory.mktemp("mismatch")
+    docs = spark.read.parquet(corpus_dir + "/documents.parquet").limit(5)
+    run_extraction(
+        spark,
+        docs,
+        str(out / "extracted"),
+        str(out / "lineage"),
+        n_partitions=N_PARTITIONS,
+    )
+    with pytest.raises(ValueError, match="n_partitions"):
+        run_extraction(
+            spark,
+            docs,
+            str(out / "extracted"),
+            str(out / "lineage"),
+            n_partitions=N_PARTITIONS * 2,
+        )
+    # omitting n_partitions adopts the recorded domain: no-op rerun
+    run_extraction(spark, docs, str(out / "extracted"), str(out / "lineage"))
+    assert spark.read.parquet(str(out / "extracted")).count() == 5
+    domains = {
+        r["n_partitions"]
+        for r in spark.read.parquet(str(out / "lineage")).collect()
+    }
+    assert domains == {N_PARTITIONS}
 
 
 def test_mega_doc_flows_through_heavy_path(spark, corpus_dir, extracted):

@@ -72,7 +72,7 @@ def test_read_committed_filters_orphans(spark, corpus_dir, tmp_path_factory):
     )
     from swift_readability_spark.pipeline.job import with_partition_key  # noqa: F401
 
-    orphan.write.mode("append").parquet(str(out / "extracted"))
+    orphan.write.mode("append").partitionBy("run_id").parquet(str(out / "extracted"))
 
     raw = spark.read.parquet(str(out / "extracted"))
     assert raw.count() == 50
