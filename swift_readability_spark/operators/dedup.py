@@ -125,16 +125,18 @@ FROM h
 """
 
 
-def lsh_candidate_pairs(spark, sf_dir):
-    """LSH banding: docs sharing any (band, bucket) become candidate
-    pairs — the scale path that avoids the O(n^2) similarity join.
+# in-bucket pair expansion is O(|bucket|^2): one degenerate bucket
+# (boilerplate/empty pages all hashing together) is a quadratic bomb at
+# 10^12 docs.  Buckets above the cap are DROPPED from pair generation —
+# members of a degenerate bucket are near-identical boilerplate better
+# handled by exact dedup — and the drop is never silent:
+# ``lsh_bucket_stats`` is the audit query reporting kept/dropped bucket
+# and pair counts, itself DuckDB-oracled.
+MAX_LSH_BUCKET = 64
 
-    Single-pass shape: groupBy (band, bucket) + in-bucket pair
-    expansion, instead of a self-join (which would recompute the
-    MinHash pipeline once per join side).  At web scale a bucket-size
-    cap bounds the quadratic in-bucket expansion; bucket keys are
-    uniform by construction so the shuffle has no skew.
-    """
+
+def _banded(spark, sf_dir):
+    """(doc_id, band, bucket) rows — shared by pairs + stats."""
     sig = minhash_signatures(spark, sf_dir)
     bands = []
     for b in range(N_BANDS):
@@ -145,13 +147,34 @@ def lsh_candidate_pairs(spark, sf_dir):
                 F.md5(F.concat_ws("_", *cols)).alias("bucket"),
             )
         )
-    exploded = sig.select(
-        "doc_id", F.explode(F.array(*bands)).alias("bb")
-    ).select("doc_id", "bb.band", "bb.bucket")
+    return sig.select("doc_id", F.explode(F.array(*bands)).alias("bb")).select(
+        "doc_id", "bb.band", "bb.bucket"
+    )
+
+
+_LSH_BANDS_SQL = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band,"
+    f" md5(concat_ws('_', mh{b * BAND_SIZE}, mh{b * BAND_SIZE + 1})) AS bucket FROM sig"
+    for b in range(N_BANDS)
+)
+
+
+def lsh_candidate_pairs(spark, sf_dir):
+    """LSH banding: docs sharing any (band, bucket) become candidate
+    pairs — the scale path that avoids the O(n^2) similarity join.
+
+    Single-pass shape: groupBy (band, bucket) + in-bucket pair
+    expansion, instead of a self-join (which would recompute the
+    MinHash pipeline once per join side).  Bucket keys are uniform by
+    construction so the shuffle has no skew; the ``MAX_LSH_BUCKET`` cap
+    bounds the quadratic in-bucket expansion (audited, not silent —
+    see ``lsh_bucket_stats``).
+    """
+    banded = _banded(spark, sf_dir)
     buckets = (
-        exploded.groupBy("band", "bucket")
+        banded.groupBy("band", "bucket")
         .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
-        .filter(F.size("ids") > 1)
+        .filter((F.size("ids") > 1) & (F.size("ids") <= MAX_LSH_BUCKET))
     )
     pairs = buckets.select(
         F.explode(
@@ -166,42 +189,103 @@ def lsh_candidate_pairs(spark, sf_dir):
 
 
 def _lsh_sql() -> str:
-    band_rows = " UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band, md5(concat_ws('_', mh{b * BAND_SIZE}, mh{b * BAND_SIZE + 1})) AS bucket FROM sig"
-        for b in range(N_BANDS)
-    )
     return f"""
 WITH sig AS ({_minhash_sql()}),
-bands AS ({band_rows})
+bands AS ({_LSH_BANDS_SQL}),
+ok AS (
+  SELECT band, bucket FROM bands GROUP BY band, bucket
+  HAVING count(DISTINCT doc_id) BETWEEN 2 AND {MAX_LSH_BUCKET}
+)
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM bands a JOIN bands b USING (band, bucket)
+FROM bands a JOIN bands b USING (band, bucket) JOIN ok USING (band, bucket)
 WHERE a.doc_id < b.doc_id
 """
 
 
-def ngram_jaccard_pairs(spark, sf_dir):
-    """Exact n-gram Jaccard for pairs sharing >= 1 shingle (verify
-    stage after LSH candidate generation)."""
-    d = read(spark, sf_dir, "documents")
-    sh = (
-        d.selectExpr("doc_id", f"{_SPARK_WORDS} AS words")
-        .selectExpr("doc_id", f"explode(array_distinct({_SPARK_SHINGLES})) AS shingle")
+def lsh_bucket_stats(spark, sf_dir):
+    """Audit for the ``MAX_LSH_BUCKET`` cap ("no silent caps"): per
+    band, how many buckets/pairs were kept vs dropped.  At 10^12 docs
+    this is the dashboard row an operator watches — a growing
+    ``dropped_pairs`` means boilerplate is flooding a bucket and exact
+    dedup should run first."""
+    banded = _banded(spark, sf_dir)
+    sizes = banded.groupBy("band", "bucket").agg(
+        F.countDistinct("doc_id").alias("n")
     )
-    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    common = (
-        a.join(b, "shingle")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("common"))
-    )
+    pair_count = (F.col("n") * (F.col("n") - 1) / 2).cast("long")
+    kept = (F.col("n") > 1) & (F.col("n") <= MAX_LSH_BUCKET)
     return (
-        common.join(counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
-        .join(counts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        sizes.groupBy("band")
+        .agg(
+            F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("kept_buckets"),
+            F.sum(F.when(F.col("n") > MAX_LSH_BUCKET, 1).otherwise(0))
+            .cast("long")
+            .alias("dropped_buckets"),
+            F.sum(F.when(kept, pair_count).otherwise(0)).cast("long").alias("kept_pairs"),
+            F.sum(F.when(F.col("n") > MAX_LSH_BUCKET, pair_count).otherwise(0))
+            .cast("long")
+            .alias("dropped_pairs"),
+            F.max("n").cast("long").alias("max_bucket"),
+        )
+        .orderBy("band")
+    )
+
+
+def _lsh_stats_sql() -> str:
+    return f"""
+WITH sig AS ({_minhash_sql()}),
+bands AS ({_LSH_BANDS_SQL}),
+sizes AS (
+  SELECT band, bucket, count(DISTINCT doc_id) AS n
+  FROM bands GROUP BY band, bucket
+)
+SELECT band,
+       CAST(sum(CASE WHEN n BETWEEN 2 AND {MAX_LSH_BUCKET} THEN 1 ELSE 0 END) AS BIGINT) AS kept_buckets,
+       CAST(sum(CASE WHEN n > {MAX_LSH_BUCKET} THEN 1 ELSE 0 END) AS BIGINT) AS dropped_buckets,
+       CAST(sum(CASE WHEN n BETWEEN 2 AND {MAX_LSH_BUCKET} THEN n * (n - 1) // 2 ELSE 0 END) AS BIGINT) AS kept_pairs,
+       CAST(sum(CASE WHEN n > {MAX_LSH_BUCKET} THEN n * (n - 1) // 2 ELSE 0 END) AS BIGINT) AS dropped_pairs,
+       CAST(max(n) AS BIGINT) AS max_bucket
+FROM sizes
+GROUP BY band
+ORDER BY band
+"""
+
+
+def ngram_jaccard_pairs(spark, sf_dir):
+    """Exact n-gram Jaccard — the VERIFY stage: computed only for LSH
+    candidate pairs, never for the whole corpus.
+
+    The pre-round-2 shape self-joined the full shingle table, which is
+    a skew bomb at scale (stopword shingles like "of the and" are hot
+    keys shared by millions of documents).  Now the candidate pairs
+    from ``lsh_candidate_pairs`` (already bucket-capped) are joined —
+    on the uniformly-distributed ``doc_id`` — to a per-doc distinct
+    shingle-set table, and Jaccard is a per-pair array_intersect:
+    work is O(|candidates| * |shingles per doc|), no shingle-keyed
+    shuffle exists anywhere."""
+    d = read(spark, sf_dir, "documents")
+    sets = (
+        d.selectExpr("doc_id", f"{_SPARK_WORDS} AS words")
+        .selectExpr("doc_id", f"array_distinct({_SPARK_SHINGLES}) AS shingles")
+    )
+    cand = lsh_candidate_pairs(spark, sf_dir)
+    return (
+        cand.join(
+            sets.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            sets.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sb")),
+            "doc_b",
+        )
+        .withColumn("common", F.size(F.array_intersect("sa", "sb")))
         .withColumn(
             "jaccard",
-            F.round(F.col("common") / (F.col("na") + F.col("nb") - F.col("common")), 4),
+            F.round(
+                F.col("common")
+                / (F.size("sa") + F.size("sb") - F.col("common")),
+                4,
+            ),
         )
         .filter(F.col("jaccard") >= 0.2)
         .select("doc_a", "doc_b", "jaccard")
@@ -210,64 +294,141 @@ def ngram_jaccard_pairs(spark, sf_dir):
 
 def _jaccard_sql() -> str:
     return f"""
-WITH w AS (SELECT doc_id, {_DUCK_WORDS} AS words FROM documents),
-s AS (SELECT doc_id, unnest(list_distinct({_DUCK_SHINGLES})) AS shingle FROM w),
-counts AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
-common AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
-  FROM s a JOIN s b USING (shingle)
+WITH sig AS ({_minhash_sql()}),
+bands AS ({_LSH_BANDS_SQL}),
+ok AS (
+  SELECT band, bucket FROM bands GROUP BY band, bucket
+  HAVING count(DISTINCT doc_id) BETWEEN 2 AND {MAX_LSH_BUCKET}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b USING (band, bucket) JOIN ok USING (band, bucket)
   WHERE a.doc_id < b.doc_id
-  GROUP BY 1, 2
+),
+w AS (SELECT doc_id, {_DUCK_WORDS} AS words FROM documents),
+sets AS (SELECT doc_id, list_distinct({_DUCK_SHINGLES}) AS shingles FROM w),
+j AS (
+  SELECT doc_a, doc_b,
+         len(list_intersect(sa.shingles, sb.shingles)) AS common,
+         len(sa.shingles) AS na, len(sb.shingles) AS nb
+  FROM cand
+  JOIN sets sa ON sa.doc_id = doc_a
+  JOIN sets sb ON sb.doc_id = doc_b
 )
 SELECT doc_a, doc_b,
-       round(common / (ca.n + cb.n - common), 4) AS jaccard
-FROM common
-JOIN counts ca ON ca.doc_id = doc_a
-JOIN counts cb ON cb.doc_id = doc_b
-WHERE round(common / (ca.n + cb.n - common), 4) >= 0.2
+       round(common / (na + nb - common), 4) AS jaccard
+FROM j
+WHERE round(common / (na + nb - common), 4) >= 0.2
 """
 
 
-N_SIMHASH_BITS = 16
+N_SIMHASH_BITS = 32
+SIMHASH_BAND_BITS = 8
+N_SIMHASH_BANDS = N_SIMHASH_BITS // SIMHASH_BAND_BITS  # 4 bands
+SIMHASH_MAX_HAMMING = N_SIMHASH_BANDS - 1  # pigeonhole-exact radius
 
 
 def simhash(spark, sf_dir):
     """SimHash: per-word portable hash, signed bit-count vote per bit,
-    packed into a 16-bit fingerprint."""
+    packed into a 32-bit fingerprint.
+
+    Fully array-native (word hashes stay an array column; each bit's
+    vote is ``2*size(filter(..bit set..)) - size(all)``): zero explode,
+    zero groupBy — the whole fingerprint is computed map-side in one
+    whole-stage-codegen projection.  The pre-round-2 explode+groupBy
+    shape shuffled one row per doc for no reason."""
     d = read(spark, sf_dir, "documents")
-    words = d.selectExpr("doc_id", f"explode({_SPARK_WORDS}) AS word").selectExpr(
-        "doc_id", _spark_hash("word") + " AS h"
+    hashed = d.selectExpr(
+        "doc_id",
+        f"transform({_SPARK_WORDS}, w -> {_spark_hash('w')}) AS hs",
     )
-    votes = words.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when((F.shiftright(F.col("h"), b).bitwiseAND(1)) == 1, 1).otherwise(-1)
-            ).alias(f"v{b}")
-            for b in range(N_SIMHASH_BITS)
-        ]
+    # vote_b > 0  <=>  2 * ones_b > total
+    terms = " + ".join(
+        f"(CASE WHEN 2 * size(filter(hs, h -> shiftright(h, {b}) & 1 = 1)) > size(hs)"
+        f" THEN {1 << b}L ELSE 0L END)"
+        for b in range(N_SIMHASH_BITS)
     )
-    packed = None
-    for b in range(N_SIMHASH_BITS):
-        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
-        packed = term if packed is None else packed + term
-    return votes.select("doc_id", packed.cast("bigint").alias("simhash"))
+    return hashed.selectExpr("doc_id", f"CAST({terms} AS BIGINT) AS simhash")
 
 
 def _simhash_sql() -> str:
-    votes = ",\n         ".join(
-        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+    terms = " + ".join(
+        f"(CASE WHEN 2 * len(list_filter(hs, h -> (h >> {b}) & 1 = 1)) > len(hs)"
+        f" THEN {1 << b} ELSE 0 END)"
         for b in range(N_SIMHASH_BITS)
     )
-    packed = " + ".join(
-        f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(N_SIMHASH_BITS)
-    )
     return f"""
-WITH w AS (SELECT doc_id, unnest({_DUCK_WORDS}) AS word FROM documents),
-h AS (SELECT doc_id, {_duck_hash('word')} AS h FROM w),
-votes AS (SELECT doc_id,
-         {votes}
-         FROM h GROUP BY doc_id)
-SELECT doc_id, CAST({packed} AS BIGINT) AS simhash FROM votes
+WITH w AS (SELECT doc_id, {_DUCK_WORDS} AS words FROM documents),
+h AS (SELECT doc_id, list_transform(words, w -> {_duck_hash('w')}) AS hs FROM w)
+SELECT doc_id, CAST({terms} AS BIGINT) AS simhash FROM h
+"""
+
+
+def simhash_neardup_pairs(spark, sf_dir):
+    """SimHash consumer: near-dup pairs at Hamming distance <=
+    ``SIMHASH_MAX_HAMMING``, found by Hamming-band LSH.
+
+    The 32-bit fingerprint is split into 4 disjoint 8-bit bands and
+    docs are equi-joined on (band, band value) — by pigeonhole, any
+    pair within Hamming distance 3 agrees exactly on at least one of
+    the 4 bands, so the banding is EXACT (recall 1.0) for that radius;
+    the per-candidate ``bit_count(a ^ b)`` filter removes the false
+    positives.  Same single-pass groupBy shape (and the same bucket
+    cap rationale) as ``lsh_candidate_pairs``; at 10^12 docs you widen
+    to a 64-bit fingerprint with 16-bit bands so each band has 65k
+    buckets."""
+    sig = simhash(spark, sf_dir)
+    bands = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("simhash"), b * SIMHASH_BAND_BITS)
+            .bitwiseAND((1 << SIMHASH_BAND_BITS) - 1)
+            .alias("value"),
+        )
+        for b in range(N_SIMHASH_BANDS)
+    ]
+    banded = sig.select(
+        "doc_id", "simhash", F.explode(F.array(*bands)).alias("bb")
+    ).select("doc_id", "simhash", "bb.band", "bb.value")
+    buckets = (
+        banded.groupBy("band", "value")
+        .agg(
+            F.sort_array(
+                F.collect_set(F.struct("doc_id", "simhash"))
+            ).alias("members")
+        )
+        .filter(F.size("members") > 1)
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(members, (x, i) ->"
+                " transform(slice(members, i + 2, size(members)), y ->"
+                " struct(x.doc_id AS doc_a, y.doc_id AS doc_b,"
+                " x.simhash AS sh_a, y.simhash AS sh_b))))"
+            )
+        ).alias("p")
+    ).select("p.*").distinct()
+    return (
+        pairs.withColumn(
+            "hamming",
+            F.expr("bit_count(sh_a ^ sh_b)").cast("int"),
+        )
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def _simhash_neardup_sql() -> str:
+    # the banding is exact for hamming <= 3, so the oracle is the
+    # direct all-pairs definition (fine at sf0.01; the Spark side is
+    # the scale path)
+    return f"""
+WITH s AS ({_simhash_sql()})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(CAST(xor(a.simhash, b.simhash) AS BIT)) AS INTEGER) AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(CAST(xor(a.simhash, b.simhash) AS BIT)) <= {SIMHASH_MAX_HAMMING}
 """
 
 
@@ -326,43 +487,86 @@ QUERIES = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "minhash_signatures": (minhash_signatures, _minhash_sql()),
     "lsh_candidate_pairs": (lsh_candidate_pairs, _lsh_sql()),
+    "lsh_bucket_stats": (lsh_bucket_stats, _lsh_stats_sql()),
     "ngram_jaccard_pairs": (ngram_jaccard_pairs, _jaccard_sql()),
     "simhash": (simhash, _simhash_sql()),
+    "simhash_neardup_pairs": (simhash_neardup_pairs, _simhash_neardup_sql()),
     "embedding_neardup_pairs": (embedding_neardup_pairs, NEARDUP_SQL),
 }
 
 
+MLLIB_VERIFY_JACCARD = 0.5
+
+
 def mllib_minhash_pairs(spark, sf_dir):
-    """Spark-ML variant of the LSH candidate stage: HashingTF shingle
-    vectors -> MinHashLSH.approxSimilarityJoin.  Demonstrates the
-    built-in distributed LSH (used at 10^9+ docs scale); rows-only
-    check — the hash family differs from the portable-md5 pipeline, so
-    there is no DuckDB-expressible oracle.  Deterministic via fixed
-    seed."""
+    """Spark-ML LSH candidate stage + exact verify: HashingTF shingle
+    vectors -> MinHashLSH.approxSimilarityJoin (the built-in
+    distributed LSH, the 10^9+-docs scale path), then each candidate
+    pair is verified with the EXACT portable shingle-set Jaccard and
+    kept at >= 0.5.
+
+    The verify stage is what makes a value oracle possible: the ML hash
+    family isn't DuckDB-expressible, but the verified OUTPUT is — the
+    corpus has no >=0.5 pair the LSH misses (24 pairs at ~1.0, one at
+    0.9, next cluster at ~0.1; a miss at j>=0.5 has probability
+    (1-j)^numHashTables <= 0.5^8 per pair, and the fixed seed makes the
+    run deterministic), so the result equals the closed-form all-pairs
+    SQL.  Shingle sets ride along through the join — no re-join against
+    the corpus for the verify."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
     d = read(spark, sf_dir, "documents")
-    shingled = d.selectExpr("doc_id", f"{_SPARK_WORDS} AS words").selectExpr(
-        "doc_id", f"{_SPARK_SHINGLES} AS shingles"
+    shingled = (
+        d.selectExpr("doc_id", f"{_SPARK_WORDS} AS words")
+        .selectExpr("doc_id", f"array_distinct({_SPARK_SHINGLES}) AS shingles")
+        .filter("size(filter(shingles, x -> x <> '')) > 0")
     )
     tf = HashingTF(
         inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True
     )
-    feats = tf.transform(shingled).filter(
-        "aggregate(shingles, 0, (a, x) -> a + CASE WHEN x <> '' THEN 1 ELSE 0 END) > 0"
-    )
-    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=4, seed=42)
+    feats = tf.transform(shingled)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
     model = lsh.fit(feats)
-    pairs = model.approxSimilarityJoin(feats, feats, 0.8, distCol="jaccard_dist")
+    cand = model.approxSimilarityJoin(feats, feats, 0.7, distCol="vec_dist")
     return (
-        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        cand.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
         .select(
             F.col("datasetA.doc_id").alias("doc_a"),
             F.col("datasetB.doc_id").alias("doc_b"),
-            F.round("jaccard_dist", 4).alias("jaccard_dist"),
+            F.col("datasetA.shingles").alias("sa"),
+            F.col("datasetB.shingles").alias("sb"),
         )
         .distinct()
+        .withColumn("common", F.size(F.array_intersect("sa", "sb")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common") / (F.size("sa") + F.size("sb") - F.col("common")), 4
+            ),
+        )
+        .filter(F.col("jaccard") >= MLLIB_VERIFY_JACCARD)
+        .select("doc_a", "doc_b", "jaccard")
     )
 
 
-QUERIES["mllib_minhash_pairs"] = (mllib_minhash_pairs, None)
+_MLLIB_SQL = f"""
+WITH w AS (SELECT doc_id, {_DUCK_WORDS} AS words FROM documents),
+sets AS (
+  SELECT doc_id, list_distinct({_DUCK_SHINGLES}) AS shingles FROM w
+),
+nonempty AS (
+  SELECT doc_id, shingles FROM sets
+  WHERE len(list_filter(shingles, x -> x <> '')) > 0
+),
+j AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(list_intersect(a.shingles, b.shingles)) AS common,
+         len(a.shingles) AS na, len(b.shingles) AS nb
+  FROM nonempty a JOIN nonempty b ON a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, round(common / (na + nb - common), 4) AS jaccard
+FROM j
+WHERE round(common / (na + nb - common), 4) >= {MLLIB_VERIFY_JACCARD}
+"""
+
+QUERIES["mllib_minhash_pairs"] = (mllib_minhash_pairs, _MLLIB_SQL)

@@ -1,0 +1,122 @@
+"""Planted-duplicate tests for the dedup chain (VERDICT r01 item 1/5).
+
+A deterministic corpus with known near-duplicate pairs and one
+degenerate boilerplate cluster larger than ``MAX_LSH_BUCKET`` proves:
+
+- the bucket cap drops the boilerplate blow-up (and the drop is
+  audited by ``lsh_bucket_stats``, never silent),
+- every planted near-dup is still found by the capped LSH and
+  verified by the candidates-only Jaccard stage,
+- the SimHash Hamming-band consumer finds the exact-duplicate cluster.
+"""
+
+import random
+
+import pytest
+
+from swift_readability_spark.operators.dedup import (
+    MAX_LSH_BUCKET,
+    SIMHASH_MAX_HAMMING,
+    lsh_bucket_stats,
+    lsh_candidate_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_neardup_pairs,
+)
+
+N_BOILER = MAX_LSH_BUCKET + 6  # one degenerate bucket above the cap
+
+
+def _corpus():
+    """(doc_id, text) rows: 20 distinct docs, 5 planted near-dup pairs,
+    N_BOILER identical boilerplate docs."""
+    rng = random.Random(42)
+    vocab = [f"w{i:03d}" for i in range(400)]
+    rows = []
+    for i in range(20):
+        rows.append((f"base-{i:02d}", " ".join(rng.choice(vocab) for _ in range(60))))
+    planted = []
+    for p in range(5):
+        words = [rng.choice(vocab) for _ in range(60)]
+        a, b = f"pair{p}-a", f"pair{p}-b"
+        dup = list(words)
+        # 1-word change: shingle Jaccard ~0.9 -> recall is deterministic
+        # and overwhelmingly inside the 4x2 band scheme
+        dup[30] = "changed"
+        rows.append((a, " ".join(words)))
+        rows.append((b, " ".join(dup)))
+        planted.append((a, b))
+    boiler = "subscribe to our newsletter terms privacy cookie policy " * 8
+    for i in range(N_BOILER):
+        rows.append((f"boiler-{i:03d}", boiler))
+    return rows, planted
+
+
+@pytest.fixture(scope="module")
+def planted_dir(spark, tmp_path_factory):
+    rows, planted = _corpus()
+    d = str(tmp_path_factory.mktemp("planted"))
+    spark.createDataFrame(rows, "doc_id string, text string").coalesce(
+        1
+    ).write.parquet(f"{d}/documents.parquet")
+    return d, planted
+
+
+def test_cap_drops_degenerate_bucket_but_keeps_planted(spark, planted_dir):
+    d, planted = planted_dir
+    pairs = {(r["doc_a"], r["doc_b"]) for r in lsh_candidate_pairs(spark, d).collect()}
+    for a, b in planted:
+        assert (a, b) in pairs, f"planted near-dup {(a, b)} lost by capped LSH"
+    # the >cap boilerplate bucket must not explode into pairs
+    assert not any(x.startswith("boiler-") for x, _ in pairs)
+    assert not any(y.startswith("boiler-") for _, y in pairs)
+
+
+def test_drop_is_audited_not_silent(spark, planted_dir):
+    d, _ = planted_dir
+    stats = lsh_bucket_stats(spark, d).collect()
+    dropped_buckets = sum(r["dropped_buckets"] for r in stats)
+    dropped_pairs = sum(r["dropped_pairs"] for r in stats)
+    # identical boilerplate -> identical signature -> one over-cap
+    # bucket in EVERY band
+    n_bands = len(stats)
+    assert dropped_buckets == n_bands
+    assert dropped_pairs == n_bands * (N_BOILER * (N_BOILER - 1) // 2)
+    assert all(r["max_bucket"] == N_BOILER for r in stats)
+
+
+def test_verify_stage_scores_planted_pairs(spark, planted_dir):
+    d, planted = planted_dir
+    verified = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(spark, d).collect()
+    }
+    for a, b in planted:
+        assert (a, b) in verified
+        assert verified[(a, b)] >= 0.8  # 1-word change in 60 words
+    # verify stage only scores LSH candidates: no boilerplate pairs
+    assert not any(a.startswith("boiler-") for a, _ in verified)
+
+
+def test_simhash_bands_find_exact_cluster(spark, planted_dir):
+    d, planted = planted_dir
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_neardup_pairs(spark, d).collect()
+    }
+    # identical boilerplate docs: hamming 0, all pairs found
+    boiler_pairs = {(a, b) for (a, b) in pairs if a.startswith("boiler-")}
+    assert len(boiler_pairs) == N_BOILER * (N_BOILER - 1) // 2
+    assert all(pairs[p] == 0 for p in boiler_pairs)
+    assert all(h <= SIMHASH_MAX_HAMMING for h in pairs.values())
+    # banding is EXACT within the radius (pigeonhole): the banded join
+    # finds precisely the pairs a brute-force hamming scan finds
+    fp = {r["doc_id"]: r["simhash"] for r in simhash(spark, d).collect()}
+    ids = sorted(fp)
+    brute = {
+        (a, b): bin(fp[a] ^ fp[b]).count("1")
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(fp[a] ^ fp[b]).count("1") <= SIMHASH_MAX_HAMMING
+    }
+    assert pairs == brute
