@@ -101,9 +101,20 @@ GROUP BY label
 """
 
 
+# cells probed per query: single-probe IVF misses neighbours that sit
+# just across a cell boundary; probing the top-P centroids is the
+# standard recall fix (FAISS nprobe) and costs P/num_cells of the
+# corpus scan instead of 1/num_cells — still a partition prune, never
+# a full scan.  On the (weakly clustered) test embeddings recall@10
+# vs brute force measures 0.1 at P=1 and 0.4-0.5 at P=3
+# (tests/test_similarity.py pins the floor).
+N_PROBES = 3
+
+
 def ann_ivf_topk(spark, sf_dir):
-    """IVF-style search: assign the query to its nearest coarse
-    centroid (per-label mean), then exact top-10 within that cell only."""
+    """IVF-style search, multi-probe: rank coarse centroids (per-label
+    mean) by query cosine, scan the top-``N_PROBES`` cells, exact
+    top-10 within the probed union."""
     e = read(spark, sf_dir, "embeddings")
     exploded = (
         e.select("label", F.posexplode("embedding").alias("pos", "v"))
@@ -126,7 +137,7 @@ def ann_ivf_topk(spark, sf_dir):
         exploded.crossJoin(F.broadcast(q))
         .withColumn("cc", cent_cos)
         .orderBy(F.desc("cc"), F.asc("label"))
-        .limit(1)
+        .limit(N_PROBES)
         .select("label")
     )
     cos = F.expr(_DOT.format(a="embedding", b="qvec")) / (
@@ -160,7 +171,7 @@ best AS (
   ORDER BY {_D_DOT.format(a='centroid', b='qvec')}
            / ({_D_NORM.format(v='centroid')} * {_D_NORM.format(v='qvec')}) DESC,
            label ASC
-  LIMIT 1
+  LIMIT {N_PROBES}
 )
 SELECT vec_id, e.label AS label,
        round({_D_DOT.format(a='emb', b='qvec')}
