@@ -41,6 +41,28 @@ def append_table(df: DataFrame, location: str) -> None:
         df.write.mode("append").parquet(location)
 
 
+def write_bucketed_corpus(
+    df: DataFrame, table: str, n_buckets: int = 1024
+) -> None:
+    """Persist a corpus as a bucketed table (plain Spark datasource
+    bucketing — no Iceberg jars needed): ``bucketBy(N, doc_id)`` writes
+    each bucket as its own file set and records the layout in the
+    catalog, so every later scan reports
+    ``HashPartitioning(doc_id, N)`` and Catalyst elides the Exchange
+    for any doc_id-keyed aggregation or join over it.  This is the
+    parquet-mode realization of the Iceberg ``bucket(N, doc_id)``
+    layout in ``iceberg_ddl`` — same plan effect, demonstrable in this
+    sandbox (tests/test_bucketed.py asserts zero Exchange)."""
+    (
+        df.repartition(n_buckets, "doc_id")
+        .write.mode("overwrite")
+        .bucketBy(n_buckets, "doc_id")
+        .sortBy("doc_id")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
 def iceberg_ddl(table: str, n_buckets: int = 1024) -> str:
     """The production table layout: hidden bucket partitioning on
     doc_id co-locates the extraction input with the stable partition
