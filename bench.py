@@ -132,10 +132,14 @@ def main() -> None:
     # service threads oversubscribe the machine, which measures box
     # saturation, not executor scaling.  All levels are reported.
     lo_level, hi_level = max(CPUS // 8, 1), max(CPUS // 2, 1)
-    # interleave two sessions per scaling level and keep the best: on a
-    # shared host, contention only ever slows a run down, so max
-    # throughput approximates the uncontended rate for both levels
-    schedule = [lo_level, hi_level, lo_level, hi_level, CPUS]
+    # symmetric estimator: a FIXED number of interleaved samples per
+    # level, taken unconditionally (no retry-on-low-reading, which
+    # could only ever inflate the result).  Max over samples remains
+    # the per-level estimator: on a shared host contention only slows
+    # a run down, so the max approximates the uncontended rate — and
+    # it is applied identically to both levels.
+    samples_per_level = int(os.environ.get("SPARK_GRAFT_SCALING_SAMPLES", "3"))
+    schedule = [lo_level, hi_level] * samples_per_level + [CPUS]
     throughput: dict[int, float] = {}
     n_docs = 0
     for cores in schedule:
@@ -146,23 +150,9 @@ def main() -> None:
         if cores == CPUS:
             timings["extract_metadata"] = round(wall, 3)
 
-    def current_efficiency() -> float:
-        return (throughput[hi_level] / throughput[lo_level]) / (hi_level / lo_level)
-
-    # shared-host insurance: a single noisy window can depress either
-    # level; if the measured efficiency is implausibly low, take one
-    # more interleaved sample of each level (max over samples remains
-    # the estimator of the uncontended rate)
-    retries = 0
-    while current_efficiency() < 0.8 and retries < 2:
-        retries += 1
-        for cores in (lo_level, hi_level):
-            wall, _ = _run_extraction(cores, SF_DIR)
-            thr = n_docs / wall
-            if thr > throughput.get(cores, 0.0):
-                throughput[cores] = thr
-
-    efficiency = current_efficiency()
+    efficiency = (throughput[hi_level] / throughput[lo_level]) / (
+        hi_level / lo_level
+    )
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -173,6 +163,11 @@ def main() -> None:
         "sf": SF_DIR,
         "n_docs": n_docs,
         "scaling_pair": f"local[{lo_level}] -> local[{hi_level}]",
+        "scaling_samples_per_level": samples_per_level,
+        # raw = what was measured (can exceed 1.0 through shared-host
+        # noise or superlinear cache effects); the clamped headline is
+        # reported alongside, never instead
+        "scaling_efficiency_raw": round(efficiency, 3),
         "scaling_efficiency": round(min(efficiency, 1.0), 3),
     }
     for cores, thr in sorted(throughput.items()):

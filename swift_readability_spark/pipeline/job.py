@@ -213,21 +213,39 @@ def plan_extraction(
             extract, EXTRACTED_SCHEMA
         )
 
+    routed = route_for_extraction(
+        df, n_partitions, heavy_threshold, oversubscription
+    )
+    return routed.mapInArrow(extract, EXTRACTED_SCHEMA)
+
+
+def route_for_extraction(
+    df: DataFrame,
+    n_partitions: int,
+    heavy_threshold: int = DEFAULT_HEAVY_THRESHOLD,
+    oversubscription: int = DEFAULT_TASK_OVERSUBSCRIPTION,
+) -> DataFrame:
+    """The skew-aware physical routing stage (factored out so tests can
+    assert placement): uniform hash route for light docs, a
+    per-document route key for docs over ``heavy_threshold`` so a
+    mega-doc never shares a task with thousands of small docs."""
     physical = n_partitions * max(oversubscription, 1)
     keyed = with_partition_key(df, n_partitions)
-    routed = keyed.withColumn(
-        "_route_key",
-        F.when(
-            F.expr(_DOC_BYTES_EXPR) > heavy_threshold,
-            F.concat(F.lit("H:"), F.col("doc_id")),
-        ).otherwise(
-            F.concat(
-                F.lit("L:"), F.pmod(F.xxhash64(F.col("doc_id")), F.lit(physical))
-            )
-        ),
-    ).repartition(physical, "_route_key").drop("_route_key")
-
-    return routed.mapInArrow(extract, EXTRACTED_SCHEMA)
+    return (
+        keyed.withColumn(
+            "_route_key",
+            F.when(
+                F.expr(_DOC_BYTES_EXPR) > heavy_threshold,
+                F.concat(F.lit("H:"), F.col("doc_id")),
+            ).otherwise(
+                F.concat(
+                    F.lit("L:"), F.pmod(F.xxhash64(F.col("doc_id")), F.lit(physical))
+                )
+            ),
+        )
+        .repartition(physical, "_route_key")
+        .drop("_route_key")
+    )
 
 
 def lineage_from_output(extracted: DataFrame, started_at, n_partitions: int) -> DataFrame:
