@@ -65,6 +65,15 @@ P_SCOPE_BOUNDARY = frozenset(
 HEADINGS = frozenset(("h1", "h2", "h3", "h4", "h5", "h6"))
 HEAD_ONLY_TAGS = frozenset("title base link meta style script noscript template".split())
 TABLE_SECTIONS = frozenset(("tbody", "thead", "tfoot"))
+# every tag that can fire any auto-close rule in _handle_start
+_AUTOCLOSE_TRIGGERS = (
+    P_CLOSERS
+    | HEADINGS
+    | TABLE_SECTIONS
+    | frozenset(
+        ("li", "dd", "dt", "tr", "td", "th", "caption", "colgroup", "option", "a")
+    )
+)
 
 
 def _invalidate_ancestors(node: "Node | None") -> None:
@@ -300,38 +309,71 @@ class Element(Node):
                 stack.extend(reversed(node.children))
 
     def get_elements_by_tag(self, *tags: str) -> list["Element"]:
+        # NOTE(perf): a memoized per-tag descendant list (same
+        # ancestor-chain invalidation as the text caches) was tried
+        # and measured SLOWER (8.6 vs 5.7 ms/doc on the fixture
+        # corpus): the grabber interleaves mutations with queries, so
+        # refills dominate, and the defensive list copy on every hit
+        # erases the remaining win.  The plain walk stays.
         out = []
+        append = out.append
         stack = list(reversed(self.children))
         pop = stack.pop
         extend = stack.extend
+        if len(tags) == 1:
+            tag = tags[0]
+            while stack:
+                node = pop()
+                if node.IS_ELEMENT:
+                    if node.tag == tag:
+                        append(node)
+                    if node.children:
+                        extend(reversed(node.children))
+            return out
         while stack:
             node = pop()
             if node.IS_ELEMENT:
                 if node.tag in tags:
-                    out.append(node)
-                extend(reversed(node.children))
+                    append(node)
+                if node.children:
+                    extend(reversed(node.children))
         return out
 
     @property
     def text_content(self) -> str:
         if self._c_valid:
             return self._c_text
-        parts = []
-        stack = list(reversed(self.children))
-        pop = stack.pop
-        extend = stack.extend
+        # Bottom-up cache fill: visit only INVALID elements (valid
+        # subtrees contribute their cached string untouched), then
+        # validate every visited element children-first.  After a
+        # mutation, recomputation costs one string-join per level on
+        # the invalidated ancestor chain instead of a full subtree
+        # re-walk — and every text_content call warms the caches for
+        # all later calls anywhere below it (measured 2x on the
+        # fixture corpus: the grabber queries text lengths of nearly
+        # every candidate across retries).
+        order = [self]
+        stack = [self]
+        push = stack.append
+        track = order.append
         while stack:
-            node = pop()
-            if node.IS_TEXT:
-                parts.append(node.data)
-            elif node.IS_ELEMENT:
-                extend(reversed(node.children))
-        value = "".join(parts)
-        self._c_text = value
-        self._c_inner = None
-        self._c_ld = None
-        self._c_valid = True
-        return value
+            el = stack.pop()
+            for c in el.children:
+                if c.IS_ELEMENT and not c._c_valid:
+                    track(c)
+                    push(c)
+        for el in reversed(order):
+            parts = []
+            for c in el.children:
+                if c.IS_TEXT:
+                    parts.append(c.data)
+                elif c.IS_ELEMENT:
+                    parts.append(c._c_text)
+            el._c_text = "".join(parts)
+            el._c_inner = None
+            el._c_ld = None
+            el._c_valid = True
+        return self._c_text
 
     def inner_text(self, normalize: bool = True) -> str:
         """Trimmed (and optionally whitespace-collapsed) textContent,
@@ -530,12 +572,10 @@ class _TreeBuilder:
     def top(self) -> Element:
         return self.stack[-1]
 
-    def _open(self, tag: str, attrs_list) -> Element:
-        attrs: dict[str, str] = {}
-        for name, value in attrs_list:
-            if name not in attrs:  # HTML5: first duplicate attribute wins
-                attrs[name] = value if value is not None else ""
-        el = Element(tag, attrs)
+    def _open(self, tag: str, attrs_map: dict) -> Element:
+        # first-duplicate-wins and None->"" were already applied by the
+        # tokenizer's memoized blob parse; one C-level copy per element
+        el = Element(tag, dict(attrs_map) if attrs_map else None)
         self.top._append_fresh(el)
         return el
 
@@ -616,9 +656,9 @@ class _TreeBuilder:
             self._ensure_html()
             # merge attributes onto existing html element
             html = self.stack[1]
-            for name, value in attrs:
+            for name, value in attrs.items():
                 if name not in html.attrs:
-                    html.attrs[name] = value if value is not None else ""
+                    html.attrs[name] = value
             return
         if tag == "head":
             self._ensure_head()
@@ -626,9 +666,9 @@ class _TreeBuilder:
         if tag == "body":
             self._ensure_body()
             body = self.stack[2]
-            for name, value in attrs:
+            for name, value in attrs.items():
                 if name not in body.attrs:
-                    body.attrs[name] = value if value is not None else ""
+                    body.attrs[name] = value
             return
 
         if self.mode < 2:
@@ -639,7 +679,13 @@ class _TreeBuilder:
         elif self.mode == 2 and tag not in HEAD_ONLY_TAGS:
             self._ensure_body()
 
-        # auto-close rules
+        # auto-close rules (single membership gate: most tags — span,
+        # b, i, img, br, ... — trigger none of them)
+        if tag not in _AUTOCLOSE_TRIGGERS:
+            el = self._open(tag, attrs)
+            if tag not in VOID_ELEMENTS and not self_closing:
+                self._push(el)
+            return
         if tag in P_CLOSERS:
             self._close_p_in_scope()
         if tag in HEADINGS and self.top.tag in HEADINGS:

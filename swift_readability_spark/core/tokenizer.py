@@ -5,7 +5,8 @@ A regex-scan replacement for :mod:`html.parser`'s ``goahead`` loop
 the behaviors the tree builder relies on:
 
 - tag/attribute names lowercased; attribute values entity-unescaped;
-  valueless attributes reported as ``None`` values,
+  attributes delivered as a first-duplicate-wins dict with valueless
+  attributes mapped to "" (what the tree builder stores),
 - character references decoded in text (``html.unescape``, the same
   routine ``convert_charrefs`` uses) but NOT inside script/style,
 - script/style content treated as raw text until the matching
@@ -97,6 +98,37 @@ def _parse_attrs(blob: str) -> tuple[list, bool]:
     return attrs, rest == "/"
 
 
+# attribute-blob memo: real pages repeat the same attribute strings
+# heavily (44% of non-empty blobs on the fixture corpus are repeats —
+# list markup, citation classes, tracking params).  Entries are
+# (attrs_dict, self_closing); the shared dict is never mutated — the
+# tree builder copies it into each element.  Cleared wholesale at a
+# size cap so a long-lived Arrow worker can't grow it without bound.
+_ATTR_MEMO: dict[str, tuple] = {}
+_ATTR_MEMO_CAP = 1 << 16
+
+
+def _parse_attrs_cached(blob: str) -> tuple:
+    """(attrs_dict, self_closing) for a raw attribute blob.
+
+    The dict already applies the HTML5 first-duplicate-wins rule and
+    maps valueless attributes to "" — precomputing it here means the
+    tree builder's per-element work is a single C-level dict copy
+    instead of a Python loop, and memo hits skip the regex entirely."""
+    hit = _ATTR_MEMO.get(blob)
+    if hit is None:
+        if len(_ATTR_MEMO) >= _ATTR_MEMO_CAP:
+            _ATTR_MEMO.clear()
+        attrs, self_closing = _parse_attrs(blob)
+        d: dict = {}
+        for name, value in attrs:
+            if name not in d:
+                d[name] = value if value is not None else ""
+        hit = (d, self_closing)
+        _ATTR_MEMO[blob] = hit
+    return hit
+
+
 def tokenize(html: str, builder) -> None:
     """Scan ``html`` and invoke builder.handle_* callbacks."""
     handle_data = builder.handle_data
@@ -163,7 +195,7 @@ def tokenize(html: str, builder) -> None:
                 # tag (stdlib/HTML5 recovery)
                 break
             tag_end = te.end() - 1
-            attrs, self_closing = _parse_attrs(html[m.end() : tag_end])
+            attrs, self_closing = _parse_attrs_cached(html[m.end() : tag_end])
             if self_closing:
                 builder.handle_startendtag(name, attrs)
             else:
