@@ -172,7 +172,7 @@ class Comment(Node):
 class Element(Node):
     __slots__ = (
         "tag", "attrs", "children", "readability", "_data_table",
-        "_c_valid", "_c_text", "_c_inner", "_c_ld",
+        "_c_valid", "_c_text", "_c_inner", "_c_ld", "_c_lk",
     )
 
     IS_ELEMENT = True
@@ -186,6 +186,7 @@ class Element(Node):
         self._c_text = None
         self._c_inner = None
         self._c_ld = None
+        self._c_lk = None
         # per-node extraction state (content score dict / data-table mark);
         # plays the role of the reference's identity-keyed side tables
         # (ArticleGrabber.swift:171-176)
@@ -372,6 +373,7 @@ class Element(Node):
             el._c_text = "".join(parts)
             el._c_inner = None
             el._c_ld = None
+            el._c_lk = None
             el._c_valid = True
         return self._c_text
 

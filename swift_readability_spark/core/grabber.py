@@ -68,6 +68,49 @@ def _parse_int(value: str | None) -> int:
     return int(m.group(1)) if m else 0
 
 
+# class+id regex memo: the prepareNodes walk evaluates
+# unlikelyCandidates / okMaybeItsACandidate / byline patterns on the
+# "class id" string of EVERY node, and real corpora repeat the same
+# combination across thousands of nodes (and across documents from the
+# same site inside an Arrow batch).  Size-capped like the tokenizer's
+# attribute memo.
+_MATCH_MEMO: dict[str, tuple[bool, bool]] = {}
+_MATCH_MEMO_CAP = 1 << 16
+
+# class-weight memo: POSITIVE/NEGATIVE on a single class or id string
+# (weight contribution of one string: -25/0/+25/...).
+_WEIGHT_MEMO: dict[str, int] = {}
+
+
+def _match_flags(match_string: str) -> tuple[bool, bool]:
+    """(is_unlikely_candidate, looks_byline) for a class+id string."""
+    hit = _MATCH_MEMO.get(match_string)
+    if hit is None:
+        if len(_MATCH_MEMO) >= _MATCH_MEMO_CAP:
+            _MATCH_MEMO.clear()
+        hit = (
+            R.UNLIKELY_CANDIDATES.search(match_string) is not None
+            and R.OK_MAYBE_ITS_A_CANDIDATE.search(match_string) is None,
+            R.BYLINE.search(match_string) is not None,
+        )
+        _MATCH_MEMO[match_string] = hit
+    return hit
+
+
+def _string_weight(s: str) -> int:
+    hit = _WEIGHT_MEMO.get(s)
+    if hit is None:
+        if len(_WEIGHT_MEMO) >= _MATCH_MEMO_CAP:
+            _WEIGHT_MEMO.clear()
+        hit = 0
+        if R.NEGATIVE.search(s):
+            hit -= 25
+        if R.POSITIVE.search(s):
+            hit += 25
+        _WEIGHT_MEMO[s] = hit
+    return hit
+
+
 class Grabber:
     def __init__(
         self,
@@ -105,16 +148,10 @@ class Grabber:
         weight = 0
         class_name = e.class_name
         if class_name:
-            if R.NEGATIVE.search(class_name):
-                weight -= 25
-            if R.POSITIVE.search(class_name):
-                weight += 25
+            weight += _string_weight(class_name)
         el_id = e.id
         if el_id:
-            if R.NEGATIVE.search(el_id):
-                weight -= 25
-            if R.POSITIVE.search(el_id):
-                weight += 25
+            weight += _string_weight(el_id)
         return weight
 
     def initialize_node(self, node: Element) -> None:
@@ -135,18 +172,19 @@ class Grabber:
     # byline / header-vs-title
     # ------------------------------------------------------------------
     def _is_valid_byline(self, node: Element, match_string: str) -> bool:
+        # cheap attribute/regex gates first: the subtree text walk runs
+        # only for the rare nodes that look byline-ish at all (this is
+        # called for every node until a byline is found)
         rel = node.get_attr("rel")
         itemprop = node.get_attr("itemprop")
+        if not (
+            rel == "author"
+            or (itemprop is not None and "author" in itemprop)
+            or _match_flags(match_string)[1]
+        ):
+            return False
         byline_length = len(js_trim(node.text_content))
-        return (
-            (
-                rel == "author"
-                or (itemprop is not None and "author" in itemprop)
-                or bool(R.BYLINE.search(match_string))
-            )
-            and byline_length > 0
-            and byline_length < 100
-        )
+        return 0 < byline_length < 100
 
     def _header_duplicates_title(self, node: Element) -> bool:
         if node.tag not in ("h1", "h2"):
@@ -255,8 +293,7 @@ class Grabber:
 
             if strip_unlikely:
                 if (
-                    R.UNLIKELY_CANDIDATES.search(match_string)
-                    and not R.OK_MAYBE_ITS_A_CANDIDATE.search(match_string)
+                    _match_flags(match_string)[0]
                     and not has_ancestor_tag(node, "table")
                     and not has_ancestor_tag(node, "code")
                     and node.tag != "body"

@@ -57,21 +57,52 @@ def get_char_count(node: Node, pattern=R.COMMAS) -> int:
     return len(pattern.findall(get_inner_text(node)))
 
 
+def _fill_link_lengths(root: Element) -> None:
+    """Bottom-up fill of the per-element link-text length (``_c_lk``).
+
+    Link length decomposes exactly over children —
+    ``lk(el) = sum(lk(c) + (coef(c) * len(inner_text(c)) if c is <a>))``
+    — nested <a> included, matching the flat descendant enumeration
+    (an outer <a>'s text already contains the inner one's; both are
+    added in either formulation).  Requires ``root`` to be text-valid
+    (the caller's ``get_inner_text`` guarantees it): the text fill
+    resets ``_c_lk`` on every element it revalidates, so a non-None
+    ``_c_lk`` here is always current-epoch."""
+    order = [root]
+    stack = [root]
+    track = order.append
+    push = stack.append
+    while stack:
+        for c in stack.pop().children:
+            if c.IS_ELEMENT and c._c_lk is None:
+                track(c)
+                push(c)
+    for el in reversed(order):
+        total = 0.0
+        for c in el.children:
+            if c.IS_ELEMENT:
+                total += c._c_lk
+                if c.tag == "a":
+                    href = c.attrs.get("href")
+                    coefficient = 0.3 if href and R.HASH_URL.match(href) else 1.0
+                    total += len(get_inner_text(c)) * coefficient
+        el._c_lk = total
+
+
 def get_link_density(element: Element) -> float:
     # memoized with ancestor-propagating invalidation (the reference's
-    # LinkDensityCache, ArticleGrabber.swift:173-176)
+    # LinkDensityCache, ArticleGrabber.swift:173-176); link lengths are
+    # decomposed per element so overlapping ancestor queries (every
+    # scored candidate) never re-walk shared subtrees
     if element._c_valid and element._c_ld is not None:
         return element._c_ld
     text_length = len(get_inner_text(element))  # (re)validates the node
     if text_length == 0:
         density = 0.0
     else:
-        link_length = 0.0
-        for a in element.get_elements_by_tag("a"):
-            href = a.get_attr("href")
-            coefficient = 0.3 if href and R.HASH_URL.match(href) else 1.0
-            link_length += len(get_inner_text(a)) * coefficient
-        density = link_length / text_length
+        if element._c_lk is None:
+            _fill_link_lengths(element)
+        density = element._c_lk / text_length
     element._c_ld = density
     return density
 
@@ -122,9 +153,8 @@ def is_element_without_content(node: Node) -> bool:
     kids = node.element_children
     if not kids:
         return True
-    return len(kids) == len(node.get_elements_by_tag("br")) + len(
-        node.get_elements_by_tag("hr")
-    )
+    # one walk for both tags: only the combined count matters
+    return len(kids) == len(node.get_elements_by_tag("br", "hr"))
 
 
 def has_child_block_element(element: Element) -> bool:

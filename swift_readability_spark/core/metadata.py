@@ -84,10 +84,17 @@ def get_article_title(doc: Document) -> str:
     return cur_title
 
 
-def get_jsonld(doc: Document) -> dict:
-    """Extract schema.org Article metadata from ld+json scripts."""
+def get_jsonld(doc: Document, scripts: list | None = None) -> dict:
+    """Extract schema.org Article metadata from ld+json scripts.
+
+    ``scripts`` lets the caller share one document walk between this
+    and the subsequent script removal (no mutation happens between)."""
     metadata: dict | None = None
-    for script in doc.get_elements_by_tag("script"):
+    if scripts is None:
+        scripts = doc.get_elements_by_tag("script")
+    for script in scripts:
+        if script.tag != "script":
+            continue
         if metadata is not None:
             break
         if script.get_attr("type") != "application/ld+json":

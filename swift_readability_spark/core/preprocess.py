@@ -34,7 +34,13 @@ def unwrap_noscript_images(doc: Document) -> None:
     """Drop attribute-less placeholder imgs; replace single-image nodes
     preceding a single-image <noscript> with the noscript's img (keeping
     old attrs as data-old-*)."""
-    for img in list(doc.get_elements_by_tag("img")):
+    # one walk for both tags (noscripts are never removed by the img
+    # pass, so the pre-collected list stays valid; _is_single_image
+    # reads the current tree state either way)
+    imgs_and_noscripts = doc.get_elements_by_tag("img", "noscript")
+    for img in imgs_and_noscripts:
+        if img.tag != "img":
+            continue
         keep = False
         for name, value in img.attrs.items():
             if name in ("src", "srcset", "data-src", "data-srcset"):
@@ -46,7 +52,9 @@ def unwrap_noscript_images(doc: Document) -> None:
         if not keep:
             img.remove()
 
-    for noscript in list(doc.get_elements_by_tag("noscript")):
+    for noscript in imgs_and_noscripts:
+        if noscript.tag != "noscript":
+            continue
         if not _is_single_image(noscript):
             continue
         # noscript content reaches us as raw text (HTML parsers treat
@@ -80,8 +88,10 @@ def unwrap_noscript_images(doc: Document) -> None:
                 prev.parent.replace_child(first, prev)
 
 
-def remove_scripts(doc: Document) -> None:
-    for el in list(doc.get_elements_by_tag("script", "noscript")):
+def remove_scripts(doc: Document, scripts: list | None = None) -> None:
+    if scripts is None:
+        scripts = doc.get_elements_by_tag("script", "noscript")
+    for el in scripts:
         el.remove()
 
 
@@ -120,11 +130,20 @@ def replace_brs(elem: Element, doc: Document) -> None:
 
 
 def prep_document(doc: Document) -> None:
-    """Remove style tags, normalize <br> runs, retag <font> as <span>."""
-    for el in list(doc.get_elements_by_tag("style")):
-        el.remove()
+    """Remove style tags, normalize <br> runs, retag <font> as <span>.
+
+    One walk collects styles and fonts together: style elements hold
+    raw text (never br/font descendants), and replace_brs only removes
+    <br>/whitespace nodes and re-parents phrasing content, so the
+    pre-collected font list is still the complete, live set when the
+    retag pass runs (same order of operations as the canonical code)."""
+    styles_and_fonts = doc.get_elements_by_tag("style", "font")
+    for el in styles_and_fonts:
+        if el.tag == "style":
+            el.remove()
     body = doc.body
     if body is not None:
         replace_brs(body, doc)
-    for el in doc.get_elements_by_tag("font"):
-        set_node_tag(el, "span")
+    for el in styles_and_fonts:
+        if el.tag == "font":
+            set_node_tag(el, "span")

@@ -128,8 +128,11 @@ def parse_document(
 
     with stage("preprocess"):
         unwrap_noscript_images(doc)
-        jsonld = {} if options.disable_jsonld else get_jsonld(doc)
-        remove_scripts(doc)
+        # one walk shared by JSON-LD extraction and script removal
+        # (no mutation between the two)
+        scripts = doc.get_elements_by_tag("script", "noscript")
+        jsonld = {} if options.disable_jsonld else get_jsonld(doc, scripts)
+        remove_scripts(doc, scripts)
         prep_document(doc)
 
     with stage("metadata"):
