@@ -1,0 +1,89 @@
+"""Physical-plan regression tests: the properties PLANS.md claims are
+asserted here so a refactor can't silently regress them.
+
+These are the plan shapes that decide 100-TB behavior: pushed filters,
+broadcast dimensions, map-side-only fingerprints, single-Exchange
+extraction, and the absence of any shingle-keyed join in the dedup
+verify stage.
+"""
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def reg():
+    from swift_readability_spark.operators import registry
+
+    return {name: builder for name, (builder, _o) in registry().items()}
+
+
+def test_q1_pushes_shipdate_filter_and_partial_agg(spark, reg):
+    plan = _plan(reg["q1_pricing_summary"](spark, SF))
+    assert "PushedFilters: [" in plan and "l_shipdate" in plan
+    assert "partial" in plan.lower()  # map-side combine before the shuffle
+
+
+def test_q3_broadcasts_the_dimension(spark, reg):
+    plan = _plan(reg["q3_shipping_priority"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan  # top-10 without a global sort
+
+
+def test_anti_join_is_broadcast(spark, reg):
+    plan = _plan(reg["customers_without_orders"](spark, SF))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_simhash_is_map_side_only(spark, reg):
+    """Round-2 rewrite: fingerprints are one map-side projection —
+    zero Exchange anywhere in the plan.  (The higher-order filter()
+    lambdas run outside whole-stage codegen by Spark design; the
+    shuffle elision is the property that matters at scale.)"""
+    plan = _plan(reg["simhash"](spark, SF))
+    assert "Exchange" not in plan
+    assert "Project" in plan
+
+
+def test_minhash_signatures_no_shuffle(spark, reg):
+    plan = _plan(reg["minhash_signatures"](spark, SF))
+    assert "Exchange" not in plan
+
+
+def test_jaccard_verify_never_joins_on_shingle(spark, reg):
+    """The verify stage joins candidates to shingle SETS on doc_id;
+    a shingle-keyed join (stopword hot keys) must never reappear."""
+    plan = _plan(reg["ngram_jaccard_pairs"](spark, SF))
+    for line in plan.splitlines():
+        if "Join" in line:
+            assert "shingle" not in line, line
+
+
+def test_ann_bruteforce_broadcasts_query_vector(spark, reg):
+    plan = _plan(reg["ann_bruteforce_topk"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_extraction_has_exactly_one_exchange(spark, corpus_dir):
+    """One scan -> one skew-aware shuffle -> mapInArrow; a second
+    Exchange would double the largest data movement of the job."""
+    from swift_readability_spark.pipeline.job import plan_extraction
+
+    docs = spark.read.parquet(corpus_dir + "/documents.parquet")
+    plan = _plan(
+        plan_extraction(docs, "http://fakehost/test/page.html", "r", 4)
+    )
+    assert plan.count("Exchange") == 1
+
+
+def test_lang_id_stays_in_codegen(spark, reg):
+    plan = _plan(reg["lang_id"](spark, SF))
+    # "*(n)" prefixes mark whole-stage-codegen spans in the plan string
+    assert "*(" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
