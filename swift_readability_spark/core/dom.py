@@ -682,11 +682,15 @@ class _TreeBuilder:
             self._ensure_body()
 
         # auto-close rules (single membership gate: most tags — span,
-        # b, i, img, br, ... — trigger none of them)
+        # b, i, img, br, ... — trigger none of them); element creation
+        # inlined on this fast path (one Python frame per tag)
         if tag not in _AUTOCLOSE_TRIGGERS:
-            el = self._open(tag, attrs)
+            el = Element(tag, dict(attrs) if attrs else None)
+            top = self.stack[-1]
+            el.parent = top
+            top.children.append(el)
             if tag not in VOID_ELEMENTS and not self_closing:
-                self._push(el)
+                self.stack.append(el)
             return
         if tag in P_CLOSERS:
             self._close_p_in_scope()

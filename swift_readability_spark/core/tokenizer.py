@@ -133,6 +133,17 @@ def tokenize(html: str, builder) -> None:
     """Scan ``html`` and invoke builder.handle_* callbacks."""
     handle_data = builder.handle_data
     handle_comment = builder.handle_comment
+    # call the tree builder's combined start handler directly when
+    # available (skips one wrapper frame per start tag — ~100k/doc on
+    # large pages); any html.parser-style builder still works
+    handle_start = getattr(builder, "_handle_start", None)
+    if handle_start is None:
+
+        def handle_start(tag, attrs, self_closing):  # pragma: no cover
+            if self_closing:
+                builder.handle_startendtag(tag, attrs)
+            else:
+                builder.handle_starttag(tag, attrs)
     i = 0
     n = len(html)
     find = html.find
@@ -196,10 +207,7 @@ def tokenize(html: str, builder) -> None:
                 break
             tag_end = te.end() - 1
             attrs, self_closing = _parse_attrs_cached(html[m.end() : tag_end])
-            if self_closing:
-                builder.handle_startendtag(name, attrs)
-            else:
-                builder.handle_starttag(name, attrs)
+            handle_start(name, attrs, self_closing)
             i = tag_end + 1
             if not self_closing and name in _RAW_CLOSE:
                 close = _RAW_CLOSE[name].search(html, i)
