@@ -111,3 +111,80 @@ QUERIES = {
     "payload_features": (payload_features, PAYLOAD_SQL),
     "media_decode_stub": (media_decode_stub, DECODE_STUB_SQL),
 }
+
+
+FRAME_SAMPLE_K = 4
+
+_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_offset", T.LongType()),
+        T.StructField("frame_byte", T.IntegerType()),
+    ]
+)
+
+
+def media_frame_sample(spark, sf_dir):
+    """Frame sampling over the binary column — the 1->N mapInPandas
+    shape a video pipeline uses (decode emits one row per *frame*, so
+    output cardinality differs from input): up to FRAME_SAMPLE_K
+    frames at a uniform byte stride per payload.  The 'frame' here is
+    the byte at the sampled offset (deterministic stand-in — no video
+    codecs in this container); the Spark-side batch shape, exploded
+    output schema, and partition behavior are the real thing."""
+    from ..pipeline.session import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
+    d = read(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+
+    def sample_batches(iterator):
+        import pandas as pd
+
+        for pdf in iterator:
+            doc_ids, idxs, offsets, fbytes = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                p = bytes(payload)
+                n = len(p)
+                if n == 0:
+                    continue
+                k = min(FRAME_SAMPLE_K, n)
+                stride = n // k
+                for i in range(k):
+                    off = i * stride
+                    doc_ids.append(doc_id)
+                    idxs.append(i)
+                    offsets.append(off)
+                    fbytes.append(p[off])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(doc_ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_offset": pd.Series(offsets, dtype="int64"),
+                    "frame_byte": pd.Series(fbytes, dtype="int32"),
+                }
+            )
+
+    return d.mapInPandas(sample_batches, _FRAME_SCHEMA)
+
+
+# ASCII corpus: byte at offset == ascii(char at offset+1)
+FRAME_SAMPLE_SQL = f"""
+WITH d AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents
+),
+f AS (
+  SELECT doc_id, text, n,
+         unnest(range(least({FRAME_SAMPLE_K}, n))) AS frame_idx
+  FROM d WHERE n > 0
+)
+SELECT doc_id,
+       CAST(frame_idx AS INTEGER) AS frame_idx,
+       CAST(frame_idx * (n // least({FRAME_SAMPLE_K}, n)) AS BIGINT) AS frame_offset,
+       CAST(ascii(substr(text, CAST(frame_idx * (n // least({FRAME_SAMPLE_K}, n)) AS INTEGER) + 1, 1)) AS INTEGER) AS frame_byte
+FROM f
+"""
+
+QUERIES["media_frame_sample"] = (media_frame_sample, FRAME_SAMPLE_SQL)

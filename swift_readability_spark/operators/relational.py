@@ -614,3 +614,42 @@ GROUP BY bucket_id
 """
 
 QUERIES["events_range_join_buckets"] = (events_range_join_buckets, RANGE_JOIN_SQL)
+
+
+def events_windowed_counts(spark, sf_dir):
+    """Epoch-aligned 6-hour tumbling window aggregation — the batch
+    twin of the watermarked streaming query in
+    ``pipeline/streaming.py::run_windowed_stream`` (same window spec,
+    so the stream's complete-mode output equals this exactly; the
+    append-mode output equals this minus windows still open at the
+    final watermark — both asserted in tests/test_streaming.py)."""
+    e = read(spark, sf_dir, "events")
+    w = F.window("ts", "6 hours")
+    return (
+        e.groupBy(w.alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+# Spark's window() buckets are epoch-aligned: start = floor(epoch/21600)
+WINDOWED_SQL = """
+SELECT to_timestamp(CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT)) AS window_start,
+       to_timestamp(CAST(floor(epoch(ts) / 21600) * 21600 + 21600 AS BIGINT)) AS window_end,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+QUERIES["events_windowed_counts"] = (events_windowed_counts, WINDOWED_SQL)

@@ -76,3 +76,69 @@ def run_extraction_stream(
         .start()
     )
     query.awaitTermination()
+
+
+EVENTS_SCHEMA = (
+    "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+    "event_type STRING, value DOUBLE, props STRING"
+)
+
+
+def run_windowed_stream(
+    spark: SparkSession,
+    input_path: str,
+    *,
+    query_name: str = "windowed_events",
+    output_mode: str = "append",
+    watermark: str = "2 hours",
+    window: str = "6 hours",
+    checkpoint_path: str | None = None,
+):
+    """Watermarked event-time tumbling-window aggregation — the real
+    Structured Streaming stateful operator (not foreachBatch): state is
+    keyed by (window, event_type), the watermark bounds it, and in
+    append mode a window is emitted exactly once, when the watermark
+    passes its end (late rows inside the watermark still count; later
+    ones are dropped).  ``events_windowed_counts`` in
+    operators/relational.py is the batch twin with the same window
+    spec: complete-mode output equals it exactly, append-mode output
+    equals it minus the windows still open at the final watermark.
+
+    Drains available input (AvailableNow) into an in-memory sink and
+    returns the result DataFrame.
+    """
+    import os
+    import pyspark.sql.functions as F
+
+    reader = spark.readStream.schema(EVENTS_SCHEMA).format("parquet")
+    if os.path.isfile(input_path):
+        reader = reader.option("pathGlobFilter", os.path.basename(input_path))
+        input_path = os.path.dirname(input_path) or "."
+    stream = reader.load(input_path)
+
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    writer = (
+        agg.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+    )
+    if checkpoint_path:
+        writer = writer.option("checkpointLocation", checkpoint_path)
+    query = writer.start()
+    query.awaitTermination()
+    return spark.table(query_name)

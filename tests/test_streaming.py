@@ -67,3 +67,55 @@ def test_rate_limited_microbatches(spark, corpus_dir, tmp_path_factory):
     assert extracted.select("doc_id").distinct().count() == n
     # one run_id per micro-batch: at least 4 (one per file)
     assert extracted.select("run_id").distinct().count() >= 4
+
+
+def test_windowed_stream_matches_batch_twin(spark):
+    """Watermarked event-time window (real stateful streaming agg):
+    complete mode equals the batch twin exactly; append mode emits
+    exactly the windows finalized by the final watermark."""
+    from swift_readability_spark.operators.relational import events_windowed_counts
+    from swift_readability_spark.pipeline.streaming import run_windowed_stream
+
+    sf = "/root/testdata/sf0.001"
+    batch = {
+        (r["window_start"], r["window_end"], r["event_type"]): (
+            r["n_events"],
+            r["total_value"],
+        )
+        for r in events_windowed_counts(spark, sf).collect()
+    }
+
+    complete = {
+        (r["window_start"], r["window_end"], r["event_type"]): (
+            r["n_events"],
+            r["total_value"],
+        )
+        for r in run_windowed_stream(
+            spark,
+            sf + "/events.parquet",
+            query_name="win_complete",
+            output_mode="complete",
+        ).collect()
+    }
+    assert complete == batch
+
+    appended = {
+        (r["window_start"], r["window_end"], r["event_type"]): (
+            r["n_events"],
+            r["total_value"],
+        )
+        for r in run_windowed_stream(
+            spark,
+            sf + "/events.parquet",
+            query_name="win_append",
+            output_mode="append",
+        ).collect()
+    }
+    # append mode: a window is emitted iff the final watermark
+    # (max ts - 2h) passed its end; everything emitted matches batch
+    assert appended
+    assert set(appended) < set(batch)  # the open tail is withheld
+    for k, v in appended.items():
+        assert batch[k] == v
+    max_ts = max(ws for ws, _we, _t in batch)
+    assert all(we <= max_ts for _ws, we, _t in appended)
