@@ -23,10 +23,13 @@ from pyspark.sql import SparkSession
 # Records per Arrow batch crossing the JVM<->Python boundary.  Too
 # small and per-batch round-trip overhead dominates (64 measured ~3x
 # slower than 512 on the extraction stage); too large and a batch of
-# big documents blows worker memory.  256 x heavy-threshold (256 KiB)
-# bounds a light-path batch at ~64 MiB; mega-docs are routed to their
-# own partitions where a batch holds only a handful of rows.
-ARROW_MAX_RECORDS_PER_BATCH = 256
+# big documents blows worker memory.  Re-tuned in round 2 after the
+# core got ~1.5x faster per doc (transfer overhead became a larger
+# share): 512 measured +7% over 256 at sf0.1/local[32], 1024 only +1%
+# more.  512 x heavy-threshold (256 KiB) bounds a light-path batch at
+# ~128 MiB (4 GiB across 32 workers worst-case); mega-docs are routed
+# to their own partitions where a batch holds only a handful of rows.
+ARROW_MAX_RECORDS_PER_BATCH = 512
 
 
 def ensure_package_on_workers(spark: SparkSession) -> None:
