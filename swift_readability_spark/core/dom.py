@@ -92,18 +92,38 @@ def _invalidate_ancestors(node: "Node | None") -> None:
 
 
 class Node:
-    __slots__ = ("parent",)
+    __slots__ = ("parent", "_idx")
 
     parent: "Element | None"
     IS_ELEMENT = False
     IS_TEXT = False
 
+    # ``_idx`` is a sibling-position HINT, not a source of truth: it is
+    # verified with ``sibs[_idx] is self`` before every use and falls
+    # back to list.index when stale.  Sequential sibling walks (the
+    # grabber's prepareNodes loop, replaceBrs runs) become O(1) per
+    # step instead of O(width) — without it, an adversarially WIDE
+    # document (tens of thousands of siblings under one parent) makes
+    # the walk quadratic and stalls an executor, the same failure
+    # class as the tokenizer backtracking bug.
+
+    def _sib_index(self) -> int:
+        """Verified index of self in parent's children (hint-assisted)."""
+        sibs = self.parent.children
+        i = self._idx
+        if i is not None and 0 <= i < len(sibs) and sibs[i] is self:
+            return i
+        i = sibs.index(self)
+        self._idx = i
+        return i
+
     # -- generic tree ops -------------------------------------------------
     def remove(self) -> None:
         p = self.parent
         if p is not None:
-            p.children.remove(self)
+            del p.children[self._sib_index()]
             self.parent = None
+            self._idx = None
             _invalidate_ancestors(p)
 
     @property
@@ -113,19 +133,26 @@ class Node:
             return None
         sibs = p.children
         try:
-            i = sibs.index(self)
+            i = self._sib_index()
         except ValueError:
             return None
-        return sibs[i + 1] if i + 1 < len(sibs) else None
+        if i + 1 < len(sibs):
+            nxt = sibs[i + 1]
+            nxt._idx = i + 1
+            return nxt
+        return None
 
     @property
     def previous_sibling(self) -> "Node | None":
         p = self.parent
         if p is None:
             return None
-        sibs = p.children
-        i = sibs.index(self)
-        return sibs[i - 1] if i > 0 else None
+        i = self._sib_index()
+        if i > 0:
+            prev = p.children[i - 1]
+            prev._idx = i - 1
+            return prev
+        return None
 
     @property
     def text_content(self) -> str:
@@ -142,6 +169,7 @@ class TextNode(Node):
 
     def __init__(self, data: str):
         self.parent = None
+        self._idx = None
         self.data = data
 
     @property
@@ -160,6 +188,7 @@ class Comment(Node):
 
     def __init__(self, data: str):
         self.parent = None
+        self._idx = None
         self.data = data
 
     def clone(self) -> "Comment":
@@ -179,6 +208,7 @@ class Element(Node):
 
     def __init__(self, tag: str, attrs: dict[str, str] | None = None):
         self.parent = None
+        self._idx = None
         self.tag = tag
         self.attrs: dict[str, str] = attrs if attrs is not None else {}
         self.children: list[Node] = []
@@ -244,11 +274,11 @@ class Element(Node):
         if ref is None:
             self.children.append(node)
         else:
-            self.children.insert(self.children.index(ref), node)
+            self.children.insert(ref._sib_index(), node)
         _invalidate_ancestors(self)
 
     def replace_child(self, new: Node, old: Node) -> None:
-        idx = self.children.index(old)
+        idx = old._sib_index()
         if new.parent is not None:
             new.remove()
         new.parent = self
@@ -281,10 +311,14 @@ class Element(Node):
         if p is None:
             return None
         sibs = p.children
-        i = sibs.index(self)
-        for c in sibs[i + 1 :]:
-            if isinstance(c, Element):
+        i = self._sib_index() + 1
+        n = len(sibs)
+        while i < n:
+            c = sibs[i]
+            if c.IS_ELEMENT:
+                c._idx = i
                 return c
+            i += 1
         return None
 
     @property
@@ -293,10 +327,13 @@ class Element(Node):
         if p is None:
             return None
         sibs = p.children
-        i = sibs.index(self)
-        for c in reversed(sibs[:i]):
-            if isinstance(c, Element):
+        i = self._sib_index() - 1
+        while i >= 0:
+            c = sibs[i]
+            if c.IS_ELEMENT:
+                c._idx = i
                 return c
+            i -= 1
         return None
 
     # -- queries ----------------------------------------------------------

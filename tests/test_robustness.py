@@ -115,3 +115,24 @@ def test_pathologically_deep_document_contained():
     result = extract_document("deep", spans, "http://fakehost/x")
     assert result["doc_id"] == "deep"
     assert result["error"] is None or "Error" in result["error"] or "error" in result["error"]
+
+
+def test_pathologically_wide_document_is_linear():
+    """Tens of thousands of siblings under one parent: sibling walks
+    must be O(1) per step (verified index hints), not O(width) — a
+    30k-paragraph flat body took 31s before the fix, 1.2s after.
+    Bound generous for shared-host noise but far below quadratic."""
+    import time
+
+    html = (
+        "<html><body>"
+        + "".join(f"<p>paragraph {i} with some words.</p>" for i in range(30000))
+        + "</body></html>"
+    )
+    spans = [{"kind": "text", "text": html, "media_ref": None, "offset": 0}]
+    t0 = time.monotonic()
+    result = extract_document("wide", spans, "http://fakehost/x")
+    elapsed = time.monotonic() - t0
+    assert result["error"] is None
+    assert result["text_length"] > 500_000
+    assert elapsed < 10.0, f"wide-doc extraction took {elapsed:.1f}s (quadratic?)"
