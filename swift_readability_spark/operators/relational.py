@@ -653,3 +653,73 @@ GROUP BY 1, 2, 3
 """
 
 QUERIES["events_windowed_counts"] = (events_windowed_counts, WINDOWED_SQL)
+
+
+def order_price_stats(spark, sf_dir):
+    """Exact statistical aggregates per order priority: EXACT
+    percentiles (percentile(), not approx_percentile — bit-matching a
+    closed-form oracle; on a real cluster switch to approx_percentile
+    for one-pass sketching when exactness isn't contractual),
+    sample stddev, mean."""
+    o = read(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+            F.round(F.stddev_samp("o_totalprice"), 2).alias("stddev_price"),
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("median_price"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 2).alias("p90_price"),
+        )
+    )
+
+
+ORDER_PRICE_STATS_SQL = """
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       round(avg(o_totalprice), 2) AS avg_price,
+       round(stddev_samp(o_totalprice), 2) AS stddev_price,
+       round(quantile_cont(o_totalprice, 0.5), 2) AS median_price,
+       round(quantile_cont(o_totalprice, 0.9), 2) AS p90_price
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+QUERIES["order_price_stats"] = (order_price_stats, ORDER_PRICE_STATS_SQL)
+
+
+def customer_value_correlation(spark, sf_dir):
+    """Pearson correlation + covariance between account balance and
+    total spend per market segment (two-pass-free: Spark's corr/covar
+    are single-pass streaming aggregates — the same plan shape at any
+    scale)."""
+    c = read(spark, sf_dir, "customer")
+    o = read(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("spend"))
+    return (
+        c.join(spend, c.c_custkey == spend.o_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.corr("c_acctbal", "spend"), 4).alias("bal_spend_corr"),
+            F.round(F.covar_samp("c_acctbal", "spend"), 2).alias("bal_spend_covar"),
+        )
+    )
+
+
+CUSTOMER_CORR_SQL = """
+WITH spend AS (
+  SELECT o_custkey, sum(o_totalprice) AS spend FROM orders GROUP BY o_custkey
+)
+SELECT c_mktsegment,
+       count(*) AS n_customers,
+       round(corr(c_acctbal, spend), 4) AS bal_spend_corr,
+       round(covar_samp(c_acctbal, spend), 2) AS bal_spend_covar
+FROM customer JOIN spend ON c_custkey = o_custkey
+GROUP BY c_mktsegment
+"""
+
+QUERIES["customer_value_correlation"] = (
+    customer_value_correlation,
+    CUSTOMER_CORR_SQL,
+)
