@@ -132,9 +132,17 @@ def to_absolute_uri(uri: str, base_uri: str, document_uri: str) -> str:
 def fix_relative_uris(article_content: Element, doc: Document) -> None:
     base_uri = doc.base_uri
     document_uri = doc.document_uri
+    # per-document memo: link-heavy pages repeat the same hrefs
+    # (nav/citation targets) hundreds of times, and resolution is
+    # urllib-based string surgery
+    memo: dict[str, str] = {}
 
     def absolutize(uri: str) -> str:
-        return to_absolute_uri(uri, base_uri, document_uri)
+        hit = memo.get(uri)
+        if hit is None:
+            hit = to_absolute_uri(uri, base_uri, document_uri)
+            memo[uri] = hit
+        return hit
 
     for link in list(article_content.get_elements_by_tag("a")):
         href = link.get_attr("href")
