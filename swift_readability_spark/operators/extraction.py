@@ -141,3 +141,90 @@ QUERIES = {
     "extract_metadata": (extract_metadata, EXTRACT_METADATA_SQL),
     "extract_spans_stats": (extract_spans_stats, EXTRACT_SPANS_STATS_SQL),
 }
+
+
+CURATE_MIN_CHARS = 200
+
+
+def extract_and_curate(spark, sf_dir):
+    """The end-to-end training-data pipeline in one plan: extraction
+    (Arrow-batch readability core) -> quality gates on the EXTRACTED
+    content (parse success, minimum length) -> exact
+    dedup on the extracted text (hash-groupBy, min-doc_id canonical)
+    -> curated survivors.  Everything after the extraction stage is
+    native DataFrame code; the only shuffle beyond extraction's is the
+    dedup hash aggregation.  Value-oracled end to end because the
+    constructed corpus makes the extracted text closed-form
+    (replace(text, '. ', '.')).
+
+    The readerable flag is deliberately NOT a gate here: the synthetic
+    corpus's paragraphs are short, so it passes only ~1% and would
+    make the demo degenerate — on real pages add
+    ``& F.col("readerable")``."""
+    out = _extracted(spark, sf_dir)
+    # plain text of the extracted article: concatenate text spans,
+    # strip markup (span text is serialized HTML of the cleaned
+    # content; the synthetic corpus has no entity-escaped chars)
+    content_text = (
+        "regexp_replace(concat_ws('', transform(filter(spans,"
+        " s -> s.kind = 'text'), s -> s.text)), '<[^>]*>', '')"
+    )
+    curated = (
+        out.filter(
+            (F.col("error").isNull())
+            & (F.col("text_length") >= CURATE_MIN_CHARS)
+        )
+        .withColumn("content_hash", F.md5(F.expr(content_text)))
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            "title",
+            "lang",
+            F.col("text_length").cast("bigint").alias("text_length"),
+            "content_hash",
+        )
+    )
+    canonical = curated.groupBy("content_hash").agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    return curated.join(canonical, ["content_hash", "doc_id"], "left_semi").select(
+        "doc_id", "title", "lang", "text_length", "content_hash"
+    )
+
+
+EXTRACT_AND_CURATE_SQL = f"""
+WITH base AS (
+  SELECT doc_id, lang, n_chars, text,
+         string_split(text, '. ') AS parts,
+         (length(text) - length(replace(text, '. ', ''))) / 2 AS n_splits
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, lang, n_chars, n_splits, text,
+         [CASE WHEN i < len(parts) THEN length(parts[i]) + 1
+               ELSE length(parts[i]) END
+          FOR i IN range(1, len(parts) + 1)] AS para_lens
+  FROM base
+),
+ex AS (
+  SELECT doc_id,
+         'Doc ' || doc_id AS title,
+         lang,
+         CAST(n_chars - n_splits AS BIGINT) AS text_length,
+         md5(replace(text, '. ', '.')) AS content_hash,
+         list_reduce(list_transform(para_lens,
+                                    l -> CASE WHEN l >= 140 THEN sqrt(l - 140)
+                                              ELSE 0.0 END),
+                     (a, b) -> a + b) > 20 AS readerable
+  FROM scored
+),
+gated AS (
+  SELECT * FROM ex WHERE text_length >= {CURATE_MIN_CHARS}
+)
+SELECT g.doc_id, g.title, g.lang, g.text_length, g.content_hash
+FROM gated g
+JOIN (
+  SELECT content_hash, min(doc_id) AS doc_id FROM gated GROUP BY content_hash
+) c ON g.content_hash = c.content_hash AND g.doc_id = c.doc_id
+"""
+
+QUERIES["extract_and_curate"] = (extract_and_curate, EXTRACT_AND_CURATE_SQL)
