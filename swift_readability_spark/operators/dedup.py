@@ -570,3 +570,66 @@ WHERE round(common / (na + nb - common), 4) >= {MLLIB_VERIFY_JACCARD}
 """
 
 QUERIES["mllib_minhash_pairs"] = (mllib_minhash_pairs, _MLLIB_SQL)
+
+
+def simhash_band_stats(spark, sf_dir):
+    """Audit for the Hamming-band join ("no silent blowups"): per band,
+    bucket count, candidate-pair mass, and the largest bucket.  Unlike
+    the MinHash LSH path there is NO cap here — capping would break the
+    pigeonhole recall-1.0 guarantee — so this query is the dashboard
+    that tells an operator when the band width must grow (at 10^12
+    docs: 64-bit fingerprints, 16-bit bands) or exact dedup must run
+    first (a giant bucket of identical boilerplate)."""
+    sig = simhash(spark, sf_dir)
+    bands = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("simhash"), b * SIMHASH_BAND_BITS)
+            .bitwiseAND((1 << SIMHASH_BAND_BITS) - 1)
+            .alias("value"),
+        )
+        for b in range(N_SIMHASH_BANDS)
+    ]
+    banded = sig.select(
+        "doc_id", F.explode(F.array(*bands)).alias("bb")
+    ).select("doc_id", "bb.band", "bb.value")
+    sizes = banded.groupBy("band", "value").agg(
+        F.countDistinct("doc_id").alias("n")
+    )
+    pair_mass = (F.col("n") * (F.col("n") - 1) / 2).cast("long")
+    return (
+        sizes.groupBy("band")
+        .agg(
+            F.count("*").cast("long").alias("n_buckets"),
+            F.sum(F.when(F.col("n") > 1, pair_mass).otherwise(0))
+            .cast("long")
+            .alias("candidate_pairs"),
+            F.max("n").cast("long").alias("max_bucket"),
+        )
+        .orderBy("band")
+    )
+
+
+def _simhash_band_stats_sql() -> str:
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band,"
+        f" (simhash >> {b * SIMHASH_BAND_BITS}) & {(1 << SIMHASH_BAND_BITS) - 1} AS value FROM s"
+        for b in range(N_SIMHASH_BANDS)
+    )
+    return f"""
+WITH s AS ({_simhash_sql()}),
+bands AS ({bands}),
+sizes AS (
+  SELECT band, value, count(DISTINCT doc_id) AS n FROM bands GROUP BY band, value
+)
+SELECT band,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(sum(CASE WHEN n > 1 THEN n * (n - 1) // 2 ELSE 0 END) AS BIGINT) AS candidate_pairs,
+       CAST(max(n) AS BIGINT) AS max_bucket
+FROM sizes
+GROUP BY band
+ORDER BY band
+"""
+
+
+QUERIES["simhash_band_stats"] = (simhash_band_stats, _simhash_band_stats_sql())
