@@ -816,19 +816,22 @@ class _TreeBuilder:
             return
         if self.mode < 3:
             if RE_ALL_WS.match(data):
-                if self.mode == 2 and self.top.tag in RAW_TEXT_TAGS:
-                    self.top._append_fresh(TextNode(data))
+                if self.mode == 2 and self.stack[-1].tag in RAW_TEXT_TAGS:
+                    self.stack[-1]._append_fresh(TextNode(data))
                 return
-            if self.mode == 2 and self.top.tag in HEAD_ONLY_TAGS:
-                self.top._append_fresh(TextNode(data))
+            if self.mode == 2 and self.stack[-1].tag in HEAD_ONLY_TAGS:
+                self.stack[-1]._append_fresh(TextNode(data))
                 return
             self._ensure_body()
-        top = self.top
-        last = top.children[-1] if top.children else None
-        if isinstance(last, TextNode):
-            last.data += data
-        else:
-            top._append_fresh(TextNode(data))
+        kids = self.stack[-1].children
+        if kids:
+            last = kids[-1]
+            if last.IS_TEXT:
+                last.data += data
+                return
+        node = TextNode(data)
+        node.parent = self.stack[-1]
+        kids.append(node)
 
     def handle_comment(self, data):
         if self.mode < 2:

@@ -157,7 +157,8 @@ def tokenize(html: str, builder) -> None:
         if lt > i:
             text = html[i:lt]
             handle_data(unescape(text) if "&" in text else text)
-        nxt = html[lt + 1 : lt + 2]
+        lt1 = lt + 1
+        nxt = html[lt1] if lt1 < n else ""
         if nxt == "!":
             if html.startswith("<!--", lt):
                 end = find("-->", lt + 4)
