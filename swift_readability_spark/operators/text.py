@@ -133,6 +133,18 @@ FROM documents
 """
 
 
+def _r(col, digits: int):
+    """Portable rounding: floor(x*10^k + 0.5)/10^k, pure IEEE double
+    ops, bit-identical in any engine.  Spark's round() converts the
+    double through its decimal string (Double.toString -> HALF_UP), so
+    a value like 0.50145 whose nearest double sits just BELOW the
+    midpoint rounds UP in Spark but DOWN in engines that round the raw
+    binary double (DuckDB) — found by the sf0.1 oracle sweep, one row
+    in 6500."""
+    p = 10**digits
+    return F.floor(col * p + F.lit(0.5)) / p
+
+
 def quality_score(spark, sf_dir):
     """Composite document-quality heuristics: length, mean word length,
     stopword ratio, punctuation density."""
@@ -147,10 +159,10 @@ def quality_score(spark, sf_dir):
     mean_word_len = F.length(F.regexp_replace("text", r"\s+", "")) / n_words
     return d.select(
         "doc_id",
-        F.round(mean_word_len, 4).alias("mean_word_len"),
-        F.round(n_stop / n_words, 4).alias("stopword_ratio"),
-        F.round(n_punct / F.length("text"), 6).alias("punct_density"),
-        F.round(
+        _r(mean_word_len, 4).alias("mean_word_len"),
+        _r(n_stop / n_words, 4).alias("stopword_ratio"),
+        _r(n_punct / F.length("text"), 6).alias("punct_density"),
+        _r(
             F.least(F.col("n_chars") / 1000.0, F.lit(1.0)) * 0.4
             + F.least(n_stop / n_words * 5.0, F.lit(1.0)) * 0.4
             + (1.0 - F.least(n_punct / F.length("text") * 20.0, F.lit(1.0))) * 0.2,
@@ -168,12 +180,12 @@ WITH f AS (
   FROM documents
 )
 SELECT doc_id,
-       round(length(regexp_replace(text, '\\s+', '', 'g')) / n_words, 4) AS mean_word_len,
-       round(n_stop / n_words, 4) AS stopword_ratio,
-       round(n_punct / length(text), 6) AS punct_density,
-       round(least(n_chars / 1000.0, 1.0) * 0.4
-             + least(n_stop / n_words * 5.0, 1.0) * 0.4
-             + (1.0 - least(n_punct / length(text) * 20.0, 1.0)) * 0.2, 4) AS quality
+       floor(length(regexp_replace(text, '\\s+', '', 'g')) / n_words * 10000 + 0.5) / 10000 AS mean_word_len,
+       floor(n_stop / n_words * 10000 + 0.5) / 10000 AS stopword_ratio,
+       floor(n_punct / length(text) * 1000000 + 0.5) / 1000000 AS punct_density,
+       floor((least(n_chars / 1000.0, 1.0) * 0.4
+              + least(n_stop / n_words * 5.0, 1.0) * 0.4
+              + (1.0 - least(n_punct / length(text) * 20.0, 1.0)) * 0.2) * 10000 + 0.5) / 10000 AS quality
 FROM f
 """
 
