@@ -35,3 +35,16 @@ def test_ivf_results_are_exact_within_probed_cells(spark):
     for r in ann_ivf_topk(spark, SF_DIR).collect():
         if r["vec_id"] in brute:
             assert r["cosine"] == brute[r["vec_id"]]
+
+
+def test_hyperplane_lsh_recall_floor(spark):
+    """Random-hyperplane LSH (label-free blocking): probing buckets
+    within Hamming distance 2 (37/256 cells ~ 14% of the corpus) holds
+    recall@10 >= 0.3 even on these near-random test vectors; single-
+    probe measured 0.0-0.2, radius-2 0.4-0.5."""
+    from swift_readability_spark.operators.similarity import ann_hyperplane_topk
+
+    brute = {r["vec_id"] for r in ann_bruteforce_topk(spark, SF_DIR).collect()}
+    lsh = {r["vec_id"] for r in ann_hyperplane_topk(spark, SF_DIR).collect()}
+    assert len(lsh) == TOP_K
+    assert len(brute & lsh) / TOP_K >= 0.3
