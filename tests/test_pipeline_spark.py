@@ -250,3 +250,35 @@ def test_pre_partitioned_mode_elides_shuffle(spark, corpus_dir):
     a = {(r["doc_id"], r["title"], r["text_length"]) for r in default.collect()}
     b = {(r["doc_id"], r["title"], r["text_length"]) for r in elided.collect()}
     assert a == b
+
+
+def test_run_extraction_pre_partitioned_end_to_end(spark, corpus_dir, tmp_path_factory):
+    """The shuffle-elision flag through the FULL job (not just
+    plan_extraction): same rows as the shuffled route, lineage
+    committed, resume no-op on rerun."""
+    out = tmp_path_factory.mktemp("prepart")
+    docs = (
+        spark.read.parquet(corpus_dir + "/documents.parquet")
+        .filter(F.col("doc_id").startswith("syn-"))
+        .repartition(4, "doc_id")
+    )
+    run_extraction(
+        spark,
+        docs,
+        str(out / "extracted"),
+        str(out / "lineage"),
+        n_partitions=N_PARTITIONS,
+        assume_pre_partitioned=True,
+    )
+    got = spark.read.parquet(str(out / "extracted"))
+    assert got.count() == docs.count()
+    assert got.filter(F.col("error").isNotNull()).count() == 0
+    # rerun resumes to a no-op
+    run_extraction(
+        spark,
+        docs,
+        str(out / "extracted"),
+        str(out / "lineage"),
+        assume_pre_partitioned=True,
+    )
+    assert spark.read.parquet(str(out / "extracted")).count() == docs.count()
