@@ -385,3 +385,76 @@ FROM (
 """
 
 QUERIES["curation_pipeline"] = (curation_pipeline, CURATION_SQL)
+
+
+def pii_scan(spark, sf_dir):
+    """PII / contamination scan — the pre-release gate of a training
+    corpus: per-doc counts of email-, phone-, and URL-shaped strings,
+    plus the release flag.  Pure built-in regexp_extract_all: stays in
+    whole-stage codegen, embarrassingly parallel, no shuffle."""
+    d = read(spark, sf_dir, "documents")
+    email_re = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    phone_re = r"\\+?[0-9][0-9 ()-]{7,}[0-9]"
+    url_re = r"https?://[^\\s]+"
+    n = lambda pat: F.size(F.expr(f"regexp_extract_all(text, '{pat}', 0)")).cast(
+        "bigint"
+    )
+    return d.select(
+        "doc_id",
+        n(email_re).alias("n_emails"),
+        n(phone_re).alias("n_phones"),
+        n(url_re).alias("n_urls"),
+        (
+            (n(email_re) > 0) | (n(phone_re) > 0)
+        ).alias("has_pii"),
+    )
+
+
+PII_SQL = """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '\\+?[0-9][0-9 ()-]{7,}[0-9]')) AS BIGINT) AS n_phones,
+       CAST(len(regexp_extract_all(text, 'https?://[^\\s]+')) AS BIGINT) AS n_urls,
+       (len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) > 0
+        OR len(regexp_extract_all(text, '\\+?[0-9][0-9 ()-]{7,}[0-9]')) > 0) AS has_pii
+FROM documents
+"""
+
+QUERIES["pii_scan"] = (pii_scan, PII_SQL)
+
+
+TOP_TERMS_K = 100
+
+
+def top_terms(spark, sf_dir):
+    """Corpus-wide term frequency, top-100: explode words -> count.
+    The shuffle key is the word — Zipf-skewed by nature — but the
+    hash aggregation does map-side partial counting, so each hot word
+    crosses the wire once per task, not once per occurrence (the same
+    reason word-count scales).  TakeOrdered for the top-k, no global
+    sort."""
+    d = read(spark, sf_dir, "documents")
+    words = d.selectExpr(
+        "explode(filter(split(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ')),"
+        " ' +'), x -> x <> '')) AS word"
+    )
+    return (
+        words.groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(TOP_TERMS_K)
+    )
+
+
+TOP_TERMS_SQL = f"""
+SELECT word, count(*) AS n
+FROM (
+  SELECT unnest(list_filter(string_split_regex(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g')), ' +'), x -> x <> '')) AS word
+  FROM documents
+)
+GROUP BY word
+ORDER BY n DESC, word ASC
+LIMIT {TOP_TERMS_K}
+"""
+
+QUERIES["top_terms"] = (top_terms, TOP_TERMS_SQL)
