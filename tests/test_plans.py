@@ -87,3 +87,18 @@ def test_lang_id_stays_in_codegen(spark, reg):
     # "*(n)" prefixes mark whole-stage-codegen spans in the plan string
     assert "*(" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_top_terms_partial_agg_and_takeordered(spark, reg):
+    """Zipf-skewed word key is survivable because of map-side partial
+    counting; top-k must not global-sort."""
+    plan = _plan(reg["top_terms"](spark, SF))
+    assert "partial" in plan.lower()
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Exchange") == 1  # one shuffle for the final agg
+
+
+def test_pii_scan_no_shuffle_no_python(spark, reg):
+    plan = _plan(reg["pii_scan"](spark, SF))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
