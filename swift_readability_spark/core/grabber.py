@@ -27,7 +27,6 @@ from .helpers import (
     get_link_density,
     get_next_node,
     get_node_ancestors,
-    get_text_density,
     has_ancestor_tag,
     has_child_block_element,
     has_single_tag_inside_element,
@@ -812,31 +811,54 @@ class Grabber:
             if self._should_clean_conditionally(node, tag):
                 node.remove()
 
-    @staticmethod
-    def _tag_census(element: Element) -> dict:
-        """One subtree walk counting every descendant tag (replaces a
-        per-tag walk for each heuristic counter)."""
+    # tags whose ELEMENT LISTS the conditional-clean heuristics need
+    # (beyond the counts); every use below is an order-independent sum
+    # or any(), so per-tag lists from one walk are equivalent to the
+    # interleaved get_elements_by_tag results
+    _CENSUS_LISTS = frozenset(
+        ("ul", "ol", "table", "object", "embed", "iframe",
+         "h1", "h2", "h3", "h4", "h5", "h6", "span", "li", "td")
+    ) | R.DIV_TO_P_ELEMS
+
+    @classmethod
+    def _tag_census(cls, element: Element) -> tuple[dict, dict]:
+        """One subtree walk producing (tag -> count) for every tag AND
+        (tag -> [elements]) for the tags the heuristics inspect —
+        replaces up to seven per-tag walks of the same candidate
+        subtree per cleanConditionally decision."""
         counts: dict[str, int] = {}
+        want = cls._CENSUS_LISTS
+        lists: dict[str, list] = {}
         stack = list(element.children)
         pop = stack.pop
         extend = stack.extend
         while stack:
             n = pop()
             if n.IS_ELEMENT:
-                counts[n.tag] = counts.get(n.tag, 0) + 1
-                extend(n.children)
-        return counts
+                tag = n.tag
+                counts[tag] = counts.get(tag, 0) + 1
+                if tag in want:
+                    lst = lists.get(tag)
+                    if lst is None:
+                        lists[tag] = [n]
+                    else:
+                        lst.append(n)
+                if n.children:
+                    extend(n.children)
+        return counts, lists
 
     def _should_clean_conditionally(self, node: Element, tag: str) -> bool:
         def is_data_table(t: Element) -> bool:
             return bool(t._data_table)
 
-        census = self._tag_census(node)
+        census, found = self._tag_census(node)
 
         is_list = tag in ("ul", "ol")
         if not is_list and (census.get("ul") or census.get("ol")):
             list_length = 0
-            for lst in node.get_elements_by_tag("ul", "ol"):
+            for lst in found.get("ul", ()) :
+                list_length += len(get_inner_text(lst))
+            for lst in found.get("ol", ()):
                 list_length += len(get_inner_text(lst))
             total = len(get_inner_text(node))
             is_list = total > 0 and list_length / total > 0.9
@@ -848,7 +870,7 @@ class Grabber:
         if has_ancestor_tag(node, "code"):
             return False
         if census.get("table") and any(
-            is_data_table(t) for t in node.get_elements_by_tag("table")
+            is_data_table(t) for t in found.get("table", ())
         ):
             return False
 
@@ -861,16 +883,25 @@ class Grabber:
             img = census.get("img", 0)
             li = census.get("li", 0) - 100
             input_count = census.get("input", 0)
-            heading_density = get_text_density(
-                node, ("h1", "h2", "h3", "h4", "h5", "h6")
+            node_text_len = len(get_inner_text(node, True))
+            heading_density = (
+                0.0
+                if node_text_len == 0
+                else sum(
+                    len(get_inner_text(h, True))
+                    for t in ("h1", "h2", "h3", "h4", "h5", "h6")
+                    for h in found.get(t, ())
+                )
+                / node_text_len
             )
 
             embed_count = 0
             if census.get("object") or census.get("embed") or census.get("iframe"):
-                for embed in node.get_elements_by_tag("object", "embed", "iframe"):
-                    if self._embed_is_allowed_video(embed):
-                        return False
-                    embed_count += 1
+                for t in ("object", "embed", "iframe"):
+                    for embed in found.get(t, ()):
+                        if self._embed_is_allowed_video(embed):
+                            return False
+                        embed_count += 1
 
             inner_text = get_inner_text(node)
             if R.AD_WORDS.search(inner_text) or R.LOADING_WORDS.search(inner_text):
@@ -879,7 +910,16 @@ class Grabber:
             content_length = len(inner_text)
             link_density = get_link_density(node)
             textish_tags = ("span", "li", "td") + tuple(R.DIV_TO_P_ELEMS)
-            text_density = get_text_density(node, textish_tags)
+            text_density = (
+                0.0
+                if node_text_len == 0
+                else sum(
+                    len(get_inner_text(c, True))
+                    for t in textish_tags
+                    for c in found.get(t, ())
+                )
+                / node_text_len
+            )
             is_figure_child = has_ancestor_tag(node, "figure")
 
             have_to_remove = (
