@@ -76,3 +76,34 @@ USING iceberg
 PARTITIONED BY (bucket({n_buckets}, doc_id))
 TBLPROPERTIES ('write.distribution-mode' = 'hash')
 """
+
+
+_FORMAT_BY_EXT = {
+    ".parquet": "parquet",
+    ".json": "json",
+    ".jsonl": "json",
+    ".ndjson": "json",
+    ".csv": "csv",
+    ".orc": "orc",
+}
+
+
+def read_documents(spark: SparkSession, path: str, schema: str | None = None) -> DataFrame:
+    """Read a documents table from any of the common lake formats,
+    chosen by extension (directory paths default to parquet).  CSV
+    reads with a header; JSON is line-delimited.  Passing an explicit
+    ``schema`` string avoids the inference scan — at 100 TB schema
+    inference is a full extra pass, so production callers should
+    always pass it."""
+    import os
+
+    ext = os.path.splitext(path.rstrip("/"))[1].lower()
+    fmt = _FORMAT_BY_EXT.get(ext, "parquet")
+    reader = spark.read
+    if schema:
+        reader = reader.schema(schema)
+    if fmt == "csv":
+        reader = reader.option("header", "true").option(
+            "inferSchema", "false" if schema else "true"
+        )
+    return reader.format(fmt).load(path)

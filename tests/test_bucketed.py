@@ -71,3 +71,36 @@ def test_extraction_over_bucketed_table_elides_shuffle(spark, bucketed):
 def test_bucketed_scan_reports_bucket_layout(bucketed):
     plan = _plan(bucketed.groupBy("doc_id").count())
     assert "Bucketed: true" in plan or "SelectedBucketsCount" in plan
+
+
+def test_read_documents_all_formats(spark, corpus_dir, tmp_path_factory):
+    """The same documents round-trip through parquet, JSON-lines, and
+    CSV sources (CSV cannot carry the nested spans column, so it
+    round-trips the flat projection)."""
+    from swift_readability_spark.pipeline.io import read_documents
+
+    out = tmp_path_factory.mktemp("formats")
+    docs = spark.read.parquet(corpus_dir + "/documents.parquet").filter(
+        F.col("doc_id").startswith("syn-")
+    )
+    n = docs.count()
+
+    pq = str(out / "d.parquet")
+    docs.write.parquet(pq)
+    assert read_documents(spark, pq).count() == n
+
+    js = str(out / "d.jsonl")
+    docs.write.json(js)
+    got = read_documents(spark, js)
+    assert got.count() == n
+    # spans survive the JSON round trip (schema inferred)
+    assert "spans" in got.columns
+    assert got.selectExpr("size(spans)").agg({"size(spans)": "min"}).collect()[0][0] >= 1
+
+    cs = str(out / "d.csv")
+    docs.selectExpr("doc_id", "size(spans) AS n_spans").write.option(
+        "header", "true"
+    ).csv(cs)
+    flat = read_documents(spark, cs, schema="doc_id STRING, n_spans INT")
+    assert flat.count() == n
+    assert flat.schema["n_spans"].dataType.simpleString() == "int"
