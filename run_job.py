@@ -65,7 +65,9 @@ def main() -> None:
             n_partitions=args.partitions,
         )
     else:
-        documents = spark.read.parquet(args.input)
+        from swift_readability_spark.pipeline.io import read_documents
+
+        documents = read_documents(spark, args.input)
         kwargs = {}
         if args.heavy_threshold is not None:
             kwargs["heavy_threshold"] = args.heavy_threshold
