@@ -46,6 +46,13 @@ def main() -> None:
         action="store_true",
         help="trust the input's existing distribution (bucketed corpus): no shuffle",
     )
+    ap.add_argument(
+        "--input-format",
+        choices=["parquet", "json", "csv", "orc"],
+        default=None,
+        help="input format (default: sniff from the path extension; "
+        "directories of part files need this set explicitly)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -67,7 +74,7 @@ def main() -> None:
     else:
         from swift_readability_spark.pipeline.io import read_documents
 
-        documents = read_documents(spark, args.input)
+        documents = read_documents(spark, args.input, fmt=args.input_format)
         kwargs = {}
         if args.heavy_threshold is not None:
             kwargs["heavy_threshold"] = args.heavy_threshold

@@ -37,6 +37,60 @@ def norm_cell(v):
     return str(v)
 
 
+def _norm_duck_type(t: str) -> str:
+    """Collapse a DuckDB type name into a coarse class comparable with
+    Spark's.  Distinguishes the classes the driver's schema check
+    distinguishes — in particular naive TIMESTAMP vs TIMESTAMP WITH
+    TIME ZONE (the r02 blind spot: this validator compared names and
+    strftime-normalized values only, so the events_windowed_counts
+    tz mismatch shipped red)."""
+    t = t.upper()
+    if "TIME ZONE" in t or t.endswith("TZ"):
+        return "tstz"
+    if t.startswith("TIMESTAMP"):
+        return "ts"
+    if t == "DATE":
+        return "date"
+    if t in ("BOOLEAN", "BOOL"):
+        return "bool"
+    if t.startswith(("TINYINT", "SMALLINT", "INTEGER", "INT", "BIGINT", "HUGEINT",
+                     "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT")):
+        return "int"
+    if t.startswith(("FLOAT", "DOUBLE", "REAL", "DECIMAL", "NUMERIC")):
+        return "num"
+    if t.endswith("[]") or t.startswith("LIST") or t.startswith("ARRAY"):
+        return "array"
+    if t.startswith("STRUCT"):
+        return "struct"
+    if t.startswith("MAP"):
+        return "map"
+    return "str"
+
+
+def _norm_spark_type(dt) -> str:
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.TimestampType):
+        return "ts"  # Spark window()/to_timestamp emit naive timestamps
+    if isinstance(dt, T.TimestampNTZType):
+        return "ts"
+    if isinstance(dt, T.DateType):
+        return "date"
+    if isinstance(dt, T.BooleanType):
+        return "bool"
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "int"
+    if isinstance(dt, (T.FloatType, T.DoubleType, T.DecimalType)):
+        return "num"
+    if isinstance(dt, T.ArrayType):
+        return "array"
+    if isinstance(dt, T.StructType):
+        return "struct"
+    if isinstance(dt, T.MapType):
+        return "map"
+    return "str"
+
+
 def rows_signature(cols, rows):
     keyed = sorted("\x1f".join(norm_cell(r[c]) for c in cols) for r in rows)
     import hashlib
@@ -94,15 +148,24 @@ def main():
             print(f"ok   {name}: rows-only ({len(srows)} rows)")
             continue
         try:
-            res = con.execute(oracle)
-            dcols = [d[0] for d in res.description]
-            drows = [dict(zip(dcols, row)) for row in res.fetchall()]
+            rel = con.sql(oracle)
+            dcols = list(rel.columns)
+            dtypes = {c: _norm_duck_type(str(t)) for c, t in zip(dcols, rel.types)}
+            drows = [dict(zip(dcols, row)) for row in rel.fetchall()]
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {str(e)[:200]}")
             failures += 1
             continue
         if scols != sorted(dcols):
             print(f"FAIL {name}: columns {scols} vs {sorted(dcols)}")
+            failures += 1
+            continue
+        stypes = {f.name: _norm_spark_type(f.dataType) for f in sdf.schema.fields}
+        type_mismatch = {
+            c: (stypes[c], dtypes[c]) for c in scols if stypes[c] != dtypes[c]
+        }
+        if type_mismatch:
+            print(f"FAIL {name}: column type mismatch {type_mismatch}")
             failures += 1
             continue
         s_sig = rows_signature(scols, srows)

@@ -76,6 +76,104 @@ _AUTOCLOSE_TRIGGERS = (
 )
 
 
+# --------------------------------------------------------------------------
+# mutation journal (undo log)
+# --------------------------------------------------------------------------
+# The grabber's retry loop needs the pristine page back after a failed
+# attempt.  The canonical JS caches page.innerHTML and re-parses; the
+# round-1/2 port deep-cloned the body up front on EVERY document
+# (~2.5 ms/doc, paid even for the ~80% of documents whose first attempt
+# succeeds).  Instead, DOM mutations are journaled while a grab attempt
+# runs and replayed in reverse on failure — zero cost on the success
+# path beyond one predictable ``is not None`` branch per mutation.
+#
+# Canonical-parity scope rule (mirrors body.innerHTML restore): only
+# the body subtree is rolled back.  Mutations outside body persist
+# across attempts — phase-1 removals from <html>/<head> stay removed
+# (``journal_replay`` re-applies them after the full undo), and
+# ``body.readability`` accumulates across attempts (the grabber never
+# journals it) exactly like the JS expando surviving innerHTML resets.
+#
+# Op encodings (tuples, int-tagged for dispatch speed):
+#   (0, node, parent, idx)        removal of node from parent at idx
+#   (1, node, parent)             insertion of node into parent
+#   (2, el, name, old|_MISSING)   attribute set (old value or absent)
+#   (3, el, name, old, idx)       attribute delete (old value + position)
+#   (4, el, old_tag)              tag rename
+#   (5, el)                       readability initialized (undo -> None)
+#   (6, el)                       _data_table assigned (undo -> None)
+
+_MISSING = object()
+_journal: list | None = None
+
+
+def journal_start() -> list:
+    """Begin recording mutations; returns the live journal list."""
+    global _journal
+    _journal = []
+    return _journal
+
+
+def journal_stop() -> None:
+    global _journal
+    _journal = None
+
+
+def journal_replay(journal: list, doc: "Document") -> None:
+    """Restore the pristine state recorded by ``journal``.
+
+    Reverse-order undo restores the exact tree (each op's undo runs
+    with the surrounding state identical to the moment the op was
+    recorded); then removals whose node does not live under <body> in
+    the pristine tree are re-applied, because the canonical restore
+    only resets body.innerHTML.  Call with the journal inactive."""
+    assert _journal is None, "journal must be stopped before replay"
+    for op in reversed(journal):
+        k = op[0]
+        if k == 0:
+            _, node, parent, idx = op
+            parent.children.insert(idx, node)
+            node.parent = parent
+            node._idx = idx
+        elif k == 1:
+            _, node, parent = op
+            del parent.children[node._sib_index()]
+            node.parent = None
+            node._idx = None
+        elif k == 2:
+            _, el, name, old = op
+            if old is _MISSING:
+                el.attrs.pop(name, None)
+            else:
+                el.attrs[name] = old
+        elif k == 3:
+            _, el, name, old, idx = op
+            items = list(el.attrs.items())
+            items.insert(idx, (name, old))
+            el.attrs = dict(items)
+        elif k == 4:
+            op[1].tag = op[2]
+        elif k == 5:
+            op[1].readability = None
+        else:
+            op[1]._data_table = None
+    # canonical restores only body.innerHTML: re-apply removals of
+    # nodes that do not sit under <body> in the pristine tree
+    for op in journal:
+        if op[0] == 0:
+            node = op[1]
+            p = node.parent
+            while p is not None and p.tag != "body":
+                p = p.parent
+            if p is None:
+                node.remove()
+    # every text/link cache in the document is now stale
+    doc._c_valid = False
+    for n in doc.iter_subtree():
+        if n.IS_ELEMENT:
+            n._c_valid = False
+
+
 def _invalidate_ancestors(node: "Node | None") -> None:
     """Clear the text/link-density caches of ``node`` and every
     ancestor.  Caches depend only on the subtree below a node, so a
@@ -121,7 +219,10 @@ class Node:
     def remove(self) -> None:
         p = self.parent
         if p is not None:
-            del p.children[self._sib_index()]
+            i = self._sib_index()
+            if _journal is not None:
+                _journal.append((0, self, p, i))
+            del p.children[i]
             self.parent = None
             self._idx = None
             _invalidate_ancestors(p)
@@ -228,13 +329,22 @@ class Element(Node):
         return self.attrs.get(name)
 
     def set_attr(self, name: str, value: str) -> None:
+        if _journal is not None:
+            _journal.append((2, self, name, self.attrs.get(name, _MISSING)))
         self.attrs[name] = value
 
     def has_attr(self, name: str) -> bool:
         return name in self.attrs
 
     def remove_attr(self, name: str) -> None:
-        self.attrs.pop(name, None)
+        attrs = self.attrs
+        if _journal is not None and name in attrs:
+            # position recorded so the undo restores dict ORDER too
+            # (serialization and first-match attr scans are order-
+            # sensitive; a plain re-insert would move the key to the
+            # end)
+            _journal.append((3, self, name, attrs[name], list(attrs).index(name)))
+        attrs.pop(name, None)
 
     @property
     def class_name(self) -> str:
@@ -242,7 +352,7 @@ class Element(Node):
 
     @class_name.setter
     def class_name(self, value: str) -> None:
-        self.attrs["class"] = value
+        self.set_attr("class", value)
 
     @property
     def id(self) -> str:
@@ -250,7 +360,7 @@ class Element(Node):
 
     @id.setter
     def id(self, value: str) -> None:
-        self.attrs["id"] = value
+        self.set_attr("id", value)
 
     # -- children ---------------------------------------------------------
     def append_child(self, node: Node) -> None:
@@ -258,6 +368,8 @@ class Element(Node):
             node.remove()
         node.parent = self
         self.children.append(node)
+        if _journal is not None:
+            _journal.append((1, node, self))
         _invalidate_ancestors(self)
 
     def _append_fresh(self, node: Node) -> None:
@@ -275,6 +387,8 @@ class Element(Node):
             self.children.append(node)
         else:
             self.children.insert(ref._sib_index(), node)
+        if _journal is not None:
+            _journal.append((1, node, self))
         _invalidate_ancestors(self)
 
     def replace_child(self, new: Node, old: Node) -> None:
@@ -282,6 +396,9 @@ class Element(Node):
         if new.parent is not None:
             new.remove()
         new.parent = self
+        if _journal is not None:
+            _journal.append((0, old, self, idx))
+            _journal.append((1, new, self))
         self.children[idx] = new
         old.parent = None
         _invalidate_ancestors(self)

@@ -19,6 +19,7 @@ from __future__ import annotations
 import math
 import re
 
+from . import dom as _dom
 from . import regexps as R
 from .dom import Document, Element, Node, js_trim
 from .helpers import (
@@ -165,6 +166,13 @@ class Grabber:
         elif tag in ("h1", "h2", "h3", "h4", "h5", "h6", "th"):
             score -= 5
         score += self.get_class_weight(node)
+        # journal the initialization (not every later score write): all
+        # scores start at None each attempt, so the undo is a reset to
+        # None.  <body> is deliberately NOT journaled — its score
+        # accumulates across attempts, mirroring the canonical JS
+        # expando surviving the body.innerHTML restore.
+        if _dom._journal is not None and node.tag != "body":
+            _dom._journal.append((5, node))
         node.readability = score
 
     # ------------------------------------------------------------------
@@ -199,44 +207,49 @@ class Grabber:
         page = doc.body
         if page is None:
             return None
-        # pristine snapshot for retry restore (the canonical code caches
-        # page.innerHTML and re-parses on failure; a deep clone is the
-        # same rollback without the reparse)
-        snapshot = [c.clone() for c in page.children]
+        # Retry rollback via the DOM mutation journal (dom.journal_*):
+        # the canonical code caches page.innerHTML up front and
+        # re-parses on failure; rounds 1-2 deep-cloned the body up
+        # front on EVERY document (~2.5 ms/doc paid even when the
+        # first attempt succeeds, ~80% of documents).  Journaling is
+        # near-free on the success path; on failure the journal is
+        # replayed in reverse (body subtree restored exactly; <html>/
+        # <head>-level removals re-applied, matching the innerHTML-
+        # only restore — see dom.journal_replay).
+        try:
+            _dom.journal_start()
+            while True:
+                article = self._grab_once()
+                text_length = len(get_inner_text(article, True))
+                if text_length >= self.char_threshold:
+                    self._set_article_dir()
+                    return article
 
-        while True:
-            article = self._grab_once()
-            text_length = len(get_inner_text(article, True))
-            if text_length >= self.char_threshold:
-                self._set_article_dir()
-                return article
+                # failed attempt: the journal replay moves the live
+                # nodes back into the page, so keep a detached CLONE
+                # for the best-attempt fallback (the canonical analogue
+                # keeps the old nodes because re-parsing made new ones)
+                self.attempts.append((article.clone(), text_length))
+                journal = _dom._journal
+                _dom.journal_stop()
+                _dom.journal_replay(journal, doc)
 
-            # failed attempt: restore the page and relax one flag
-            # (direct children surgery: invalidate the chain manually)
-            from .dom import _invalidate_ancestors
-
-            page = doc.body
-            page.children = []
-            for c in snapshot:
-                cc = c.clone()
-                cc.parent = page
-                page.children.append(cc)
-            _invalidate_ancestors(page)
-            self.attempts.append((article, text_length))
-
-            if self.flag_strip_unlikelys:
-                self.flag_strip_unlikelys = False
-            elif self.flag_weight_classes:
-                self.flag_weight_classes = False
-            elif self.flag_clean_conditionally:
-                self.flag_clean_conditionally = False
-            else:
-                self.attempts.sort(key=lambda a: a[1], reverse=True)
-                if not self.attempts[0][1]:
-                    return None
-                article = self.attempts[0][0]
-                self._set_article_dir()
-                return article
+                if self.flag_strip_unlikelys:
+                    self.flag_strip_unlikelys = False
+                elif self.flag_weight_classes:
+                    self.flag_weight_classes = False
+                elif self.flag_clean_conditionally:
+                    self.flag_clean_conditionally = False
+                else:
+                    self.attempts.sort(key=lambda a: a[1], reverse=True)
+                    if not self.attempts[0][1]:
+                        return None
+                    article = self.attempts[0][0]
+                    self._set_article_dir()
+                    return article
+                _dom.journal_start()
+        finally:
+            _dom.journal_stop()
 
     def _grab_once(self) -> Element:
         doc = self.doc
@@ -643,17 +656,21 @@ class Grabber:
             return
         attrs = e.attrs
         if attrs:
-            for k in attrs.keys() & self._PRESENTATIONAL_SET:
-                del attrs[k]
+            # remove_attr (not raw del): journaled for retry rollback
+            for k in list(attrs.keys() & self._PRESENTATIONAL_SET):
+                e.remove_attr(k)
             if e.tag in R.DEPRECATED_SIZE_ATTRIBUTE_ELEMS:
-                attrs.pop("width", None)
-                attrs.pop("height", None)
+                e.remove_attr("width")
+                e.remove_attr("height")
         for child in e.children:
             if child.IS_ELEMENT:
                 self.clean_styles(child)
 
     def mark_data_tables(self, root: Element) -> None:
+        journal = _dom._journal
         for table in root.get_elements_by_tag("table"):
+            if journal is not None:
+                journal.append((6, table))  # undo: _data_table -> None
             if table.get_attr("role") == "presentation":
                 table._data_table = False
                 continue

@@ -234,6 +234,10 @@ def _all_js_ws(s: str) -> bool:
 def set_node_tag(node: Element, tag: str) -> Element:
     """Rename an element in place, preserving children/attrs/score
     (mirrors the JSDOM fast path of the canonical _setNodeTag)."""
+    from . import dom as _dom
+
+    if _dom._journal is not None:
+        _dom._journal.append((4, node, node.tag))
     node.tag = tag
     return node
 

@@ -55,6 +55,11 @@ _RAW_CLOSE = {
     "style": re.compile(r"</\s*style", re.I),
 }
 
+# shared attrs map for the attribute-less fast path: handlers only read
+# it (the tree builder copies before mutating), and falsiness routes
+# Element construction to the no-attrs branch
+_NO_ATTRS: dict = {}
+
 
 def _parse_attrs(blob: str) -> tuple[list, bool]:
     """Attribute list + self-closing flag.
@@ -140,10 +145,17 @@ def tokenize(html: str, builder) -> None:
     if handle_start is None:
 
         def handle_start(tag, attrs, self_closing):  # pragma: no cover
+            # html.parser contract: attrs is a list of (name, value)
+            # tuples.  The fast path hands builders a first-dup-wins
+            # dict (valueless attrs as ""), so convert for external
+            # builders; duplicates are already collapsed and valueless
+            # attrs arrive as "" rather than None — builders needing
+            # those distinctions must implement _handle_start.
+            pairs = list(attrs.items())
             if self_closing:
-                builder.handle_startendtag(tag, attrs)
+                builder.handle_startendtag(tag, pairs)
             else:
-                builder.handle_starttag(tag, attrs)
+                builder.handle_starttag(tag, pairs)
     i = 0
     n = len(html)
     find = html.find
@@ -196,18 +208,48 @@ def tokenize(html: str, builder) -> None:
                 i = lt + 1
                 continue
             name = m.group(1).lower()
-            # find the tag end, honoring quoted attribute values.
-            # A quote only opens a value when it follows '=' (the HTML5
-            # tokenizer's before-attribute-value state) — a quote in
-            # name position (junk like <div "="">) is an ordinary char.
-            te = _TAG_END.match(html, m.end())
-            if te is None:
-                # unterminated tag at EOF, or an '='-introduced quoted
-                # value that never closes: consume to EOF and drop the
-                # tag (stdlib/HTML5 recovery)
+            name_end = m.end()
+            # fast path 1: attribute-less tag (<p>, <div>, </b>-style
+            # bulk markup) — no attr blob, no regex
+            if name_end < n and html[name_end] == ">":
+                handle_start(name, _NO_ATTRS, False)
+                i = name_end + 1
+                if name in _RAW_CLOSE:
+                    close = _RAW_CLOSE[name].search(html, i)
+                    if close is None:
+                        data = html[i:]
+                        if data:
+                            handle_data(data)
+                        break
+                    if close.start() > i:
+                        handle_data(html[i : close.start()])
+                    i = close.start()
+                continue
+            # fast path 2: a quote-free blob cannot contain a quoted
+            # value, so the tag ends at the first '>' — two C-level
+            # scans instead of the char-class alternation regex
+            gt = find(">", name_end)
+            if gt < 0:
+                # unterminated tag at EOF: drop it (HTML5 recovery)
                 break
-            tag_end = te.end() - 1
-            attrs, self_closing = _parse_attrs_cached(html[m.end() : tag_end])
+            blob = html[name_end:gt]
+            if '"' not in blob and "'" not in blob:
+                tag_end = gt
+            else:
+                # slow path: find the tag end honoring quoted attribute
+                # values.  A quote only opens a value when it follows
+                # '=' (the HTML5 before-attribute-value state) — a
+                # quote in name position (junk like <div "="">) is an
+                # ordinary char.
+                te = _TAG_END.match(html, name_end)
+                if te is None:
+                    # an '='-introduced quoted value that never closes:
+                    # consume to EOF and drop the tag (stdlib/HTML5
+                    # recovery)
+                    break
+                tag_end = te.end() - 1
+                blob = html[name_end:tag_end]
+            attrs, self_closing = _parse_attrs_cached(blob)
             handle_start(name, attrs, self_closing)
             i = tag_end + 1
             if not self_closing and name in _RAW_CLOSE:

@@ -13,6 +13,7 @@ uniformly distributed by construction.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from .common import read
@@ -163,18 +164,30 @@ def lsh_candidate_pairs(spark, sf_dir):
     """LSH banding: docs sharing any (band, bucket) become candidate
     pairs — the scale path that avoids the O(n^2) similarity join.
 
-    Single-pass shape: groupBy (band, bucket) + in-bucket pair
+    Single-pass shape: one shuffle on (band, bucket) + in-bucket pair
     expansion, instead of a self-join (which would recompute the
     MinHash pipeline once per join side).  Bucket keys are uniform by
     construction so the shuffle has no skew; the ``MAX_LSH_BUCKET`` cap
     bounds the quadratic in-bucket expansion (audited, not silent —
     see ``lsh_bucket_stats``).
+
+    The cap is applied BEFORE any member list is materialized: a
+    window ``count`` over (band, bucket) sizes each bucket first (the
+    window's external sorter spills, it never holds a bucket in an agg
+    buffer), over-cap rows are filtered out, and only then does
+    ``collect_set`` run — so a degenerate 10^8-member boilerplate
+    bucket costs a spill-safe sort, not an executor OOM.  The window
+    and the groupBy share the (band, bucket) hash partitioning, so
+    this is still exactly one Exchange (pinned in tests/test_plans.py).
     """
     banded = _banded(spark, sf_dir)
+    sized = banded.withColumn(
+        "n", F.count("*").over(Window.partitionBy("band", "bucket"))
+    )
     buckets = (
-        banded.groupBy("band", "bucket")
+        sized.filter((F.col("n") > 1) & (F.col("n") <= MAX_LSH_BUCKET))
+        .groupBy("band", "bucket")
         .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
-        .filter((F.size("ids") > 1) & (F.size("ids") <= MAX_LSH_BUCKET))
     )
     pairs = buckets.select(
         F.explode(
@@ -326,29 +339,37 @@ N_SIMHASH_BITS = 32
 SIMHASH_BAND_BITS = 8
 N_SIMHASH_BANDS = N_SIMHASH_BITS // SIMHASH_BAND_BITS  # 4 bands
 SIMHASH_MAX_HAMMING = N_SIMHASH_BANDS - 1  # pigeonhole-exact radius
+# loud-failure bound for a single Hamming band bucket: a bucket this
+# big means the corpus needs exact dedup first (or wider bands) — the
+# job fails with that message instead of OOMing an executor
+SIMHASH_GUARD_MAX = 1_000_000
 
 
 def simhash(spark, sf_dir):
     """SimHash: per-word portable hash, signed bit-count vote per bit,
     packed into a 32-bit fingerprint.
 
-    Fully array-native (word hashes stay an array column; each bit's
-    vote is ``2*size(filter(..bit set..)) - size(all)``): zero explode,
-    zero groupBy — the whole fingerprint is computed map-side in one
-    whole-stage-codegen projection.  The pre-round-2 explode+groupBy
-    shape shuffled one row per doc for no reason."""
+    Fully array-native: zero explode, zero groupBy — the whole
+    fingerprint is computed map-side in one whole-stage-codegen
+    projection.  ONE ``aggregate()`` pass walks the hash array once,
+    accumulating all 32 bit counters in an array accumulator (the
+    round-2 shape ran 32 separate ``filter()`` passes, re-walking the
+    array 32×); the finish lambda packs the majority votes into the
+    fingerprint.  vote_b set  <=>  2 * ones_b > total."""
     d = read(spark, sf_dir, "documents")
     hashed = d.selectExpr(
         "doc_id",
         f"transform({_SPARK_WORDS}, w -> {_spark_hash('w')}) AS hs",
     )
-    # vote_b > 0  <=>  2 * ones_b > total
-    terms = " + ".join(
-        f"(CASE WHEN 2 * size(filter(hs, h -> shiftright(h, {b}) & 1 = 1)) > size(hs)"
-        f" THEN {1 << b}L ELSE 0L END)"
-        for b in range(N_SIMHASH_BITS)
+    vote = (
+        f"aggregate(hs, array_repeat(0L, {N_SIMHASH_BITS}),"
+        f" (acc, h) -> zip_with(acc, sequence(0, {N_SIMHASH_BITS - 1}),"
+        f" (c, b) -> c + (shiftright(h, b) & 1)),"
+        f" acc -> aggregate(zip_with(acc, sequence(0, {N_SIMHASH_BITS - 1}),"
+        f" (c, b) -> IF(2 * c > size(hs), shiftleft(1L, b), 0L)),"
+        f" 0L, (s, v) -> s + v))"
     )
-    return hashed.selectExpr("doc_id", f"CAST({terms} AS BIGINT) AS simhash")
+    return hashed.selectExpr("doc_id", f"CAST({vote} AS BIGINT) AS simhash")
 
 
 def _simhash_sql() -> str:
@@ -373,10 +394,17 @@ def simhash_neardup_pairs(spark, sf_dir):
     pair within Hamming distance 3 agrees exactly on at least one of
     the 4 bands, so the banding is EXACT (recall 1.0) for that radius;
     the per-candidate ``bit_count(a ^ b)`` filter removes the false
-    positives.  Same single-pass groupBy shape (and the same bucket
-    cap rationale) as ``lsh_candidate_pairs``; at 10^12 docs you widen
-    to a 64-bit fingerprint with 16-bit bands so each band has 65k
-    buckets."""
+    positives.  Same single-shuffle shape as ``lsh_candidate_pairs``;
+    at 10^12 docs you widen to a 64-bit fingerprint with 16-bit bands
+    so each band has 65k buckets.
+
+    NO bucket cap is allowed here — dropping a bucket would break the
+    pigeonhole recall-1.0 guarantee — so instead of silently OOMing on
+    a degenerate bucket, a window ``count`` sizes every bucket BEFORE
+    any member list is collected and ``assert_true`` fails the job
+    LOUDLY at ``SIMHASH_GUARD_MAX`` with the remedy in the message
+    (run exact dedup first / widen the bands).  The guard sits in a
+    ``filter`` so Catalyst cannot prune it away."""
     sig = simhash(spark, sf_dir)
     bands = [
         F.struct(
@@ -390,14 +418,32 @@ def simhash_neardup_pairs(spark, sf_dir):
     banded = sig.select(
         "doc_id", "simhash", F.explode(F.array(*bands)).alias("bb")
     ).select("doc_id", "simhash", "bb.band", "bb.value")
+    sized = banded.withColumn(
+        "n", F.count("*").over(Window.partitionBy("band", "value"))
+    )
+    guarded = sized.filter(
+        F.assert_true(
+            F.col("n") <= SIMHASH_GUARD_MAX,
+            F.concat(
+                F.lit("simhash Hamming band (band="),
+                F.col("band").cast("string"),
+                F.lit(", value="),
+                F.col("value").cast("string"),
+                F.lit(f") holds > {SIMHASH_GUARD_MAX} docs; a cap would break"
+                      " the pigeonhole recall guarantee — run exact dedup"
+                      " upstream or widen the fingerprint/bands"
+                      " (see simhash_band_stats)"),
+            ),
+        ).isNull()
+    )
     buckets = (
-        banded.groupBy("band", "value")
+        guarded.filter(F.col("n") > 1)
+        .groupBy("band", "value")
         .agg(
             F.sort_array(
                 F.collect_set(F.struct("doc_id", "simhash"))
             ).alias("members")
         )
-        .filter(F.size("members") > 1)
     )
     pairs = buckets.select(
         F.explode(
@@ -432,11 +478,44 @@ WHERE bit_count(CAST(xor(a.simhash, b.simhash) AS BIT)) <= {SIMHASH_MAX_HAMMING}
 """
 
 
+# near-dup planting: the driver's synthetic embeddings have no pair
+# above the 0.5 cosine threshold, so round 2's green oracle verified
+# nothing (0 rows both engines).  Both engines now append PLANTED
+# near-duplicates — the first N_PLANTED_NEARDUP vectors, copied with a
+# +0.05 perturbation on dimension 0, round-tripped through FLOAT so
+# the bits are identical in Spark and DuckDB — which guarantees the
+# oracle compares real >0.5-cosine pairs.
+N_PLANTED_NEARDUP = 8
+_PLANT_ID_OFFSET = 1_000_000
+_PLANT_PERTURB = "0.05"
+NEARDUP_MIN_COSINE = 0.5
+
+
+def _with_planted(e):
+    """embeddings ∪ planted near-duplicates (Spark side)."""
+    planted = e.filter(F.col("vec_id") < N_PLANTED_NEARDUP).select(
+        (F.col("vec_id") + F.lit(_PLANT_ID_OFFSET)).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (x, i) -> CAST(CASE WHEN i = 0"
+            f" THEN CAST(x AS DOUBLE) + {_PLANT_PERTURB}D"
+            " ELSE CAST(x AS DOUBLE) END AS FLOAT))"
+        ).alias("embedding"),
+        F.col("label"),
+    )
+    return e.select("vec_id", "embedding", "label").unionByName(planted)
+
+
 def embedding_neardup_pairs(spark, sf_dir):
-    """Embedding-cosine near-dup, label-blocked (IVF-style blocking
-    replaces the cross join: pairs are only formed inside a coarse
-    bucket, which is how this survives 10^9 vectors)."""
-    e = read(spark, sf_dir, "embeddings")
+    """Embedding-cosine near-dup, LABEL-FREE: blocking is the 8-bit
+    random-hyperplane signature (the same fixed hyperplanes as
+    ``ann_hyperplane_topk``) — real corpora carry no labels, and two
+    near-identical vectors land in the same signature bucket, so the
+    quadratic pair expansion happens only inside a bucket (1/256 of
+    the corpus on average; widen the signature at 10^9+ vectors)."""
+    from .similarity import _sig_expr_spark
+
+    e = _with_planted(read(spark, sf_dir, "embeddings"))
+    sig = e.withColumn("sig", F.expr(_sig_expr_spark("embedding")))
     dot = (
         "aggregate(zip_with(a.embedding, b.embedding,"
         " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"
@@ -445,10 +524,10 @@ def embedding_neardup_pairs(spark, sf_dir):
         "sqrt(aggregate(transform({side}.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
         " 0D, (acc, v) -> acc + v))"
     )
-    a = e.alias("a")
-    b = e.alias("b")
+    a = sig.alias("a")
+    b = sig.alias("b")
     return (
-        a.join(b, "label")
+        a.join(b, "sig")
         .filter(F.col("a.vec_id") < F.col("b.vec_id"))
         .withColumn(
             "cosine",
@@ -458,7 +537,7 @@ def embedding_neardup_pairs(spark, sf_dir):
                 4,
             ),
         )
-        .filter(F.col("cosine") >= 0.5)
+        .filter(F.col("cosine") >= NEARDUP_MIN_COSINE)
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
@@ -467,20 +546,38 @@ def embedding_neardup_pairs(spark, sf_dir):
     )
 
 
-NEARDUP_SQL = """
-WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+def _neardup_sql() -> str:
+    from .similarity import _sig_expr_duck
+
+    return f"""
+WITH base AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+planted AS (
+  SELECT vec_id + {_PLANT_ID_OFFSET} AS vec_id, label,
+         CAST(CAST(list_transform(range(1, len(emb) + 1),
+                i -> CASE WHEN i = 1 THEN emb[i] + {_PLANT_PERTURB} ELSE emb[i] END)
+              AS FLOAT[]) AS DOUBLE[]) AS emb
+  FROM base WHERE vec_id < {N_PLANTED_NEARDUP}
+),
+e AS (
+  SELECT vec_id, emb, {_sig_expr_duck('emb')} AS sig
+  FROM (SELECT * FROM base UNION ALL SELECT * FROM planted)
+)
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        round(list_reduce(list_transform(range(1, len(a.emb) + 1),
                                         i -> a.emb[i] * b.emb[i]), (x, y) -> x + y)
              / (sqrt(list_reduce(list_transform(a.emb, x -> x * x), (x, y) -> x + y))
                 * sqrt(list_reduce(list_transform(b.emb, x -> x * x), (x, y) -> x + y))), 4)
          AS cosine
-FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+FROM e a JOIN e b ON a.sig = b.sig AND a.vec_id < b.vec_id
 WHERE round(list_reduce(list_transform(range(1, len(a.emb) + 1),
                                        i -> a.emb[i] * b.emb[i]), (x, y) -> x + y)
             / (sqrt(list_reduce(list_transform(a.emb, x -> x * x), (x, y) -> x + y))
-               * sqrt(list_reduce(list_transform(b.emb, x -> x * x), (x, y) -> x + y))), 4) >= 0.5
+               * sqrt(list_reduce(list_transform(b.emb, x -> x * x), (x, y) -> x + y))), 4)
+      >= {NEARDUP_MIN_COSINE}
 """
+
+
+NEARDUP_SQL = _neardup_sql()
 
 
 QUERIES = {

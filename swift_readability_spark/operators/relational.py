@@ -641,10 +641,13 @@ def events_windowed_counts(spark, sf_dir):
     )
 
 
-# Spark's window() buckets are epoch-aligned: start = floor(epoch/21600)
+# Spark's window() buckets are epoch-aligned: start = floor(epoch/21600).
+# DuckDB's to_timestamp() returns TIMESTAMP WITH TIME ZONE while Spark's
+# window() emits naive TimestampType — CAST to naive TIMESTAMP so the
+# driver's schema comparison matches (VERDICT r02 item 1).
 WINDOWED_SQL = """
-SELECT to_timestamp(CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT)) AS window_start,
-       to_timestamp(CAST(floor(epoch(ts) / 21600) * 21600 + 21600 AS BIGINT)) AS window_end,
+SELECT CAST(to_timestamp(CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT)) AS TIMESTAMP) AS window_start,
+       CAST(to_timestamp(CAST(floor(epoch(ts) / 21600) * 21600 + 21600 AS BIGINT)) AS TIMESTAMP) AS window_end,
        event_type,
        count(*) AS n_events,
        round(sum(value), 2) AS total_value

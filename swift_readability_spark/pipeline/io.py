@@ -88,17 +88,32 @@ _FORMAT_BY_EXT = {
 }
 
 
-def read_documents(spark: SparkSession, path: str, schema: str | None = None) -> DataFrame:
-    """Read a documents table from any of the common lake formats,
-    chosen by extension (directory paths default to parquet).  CSV
+def read_documents(
+    spark: SparkSession,
+    path: str,
+    schema: str | None = None,
+    fmt: str | None = None,
+) -> DataFrame:
+    """Read a documents table from any of the common lake formats.
+
+    ``fmt`` (parquet/json/csv/orc) wins when given — the common lake
+    layout is a *directory* of .json/.csv part files whose path carries
+    no extension, so extension sniffing alone would misread it as
+    parquet; sniffing is only the fallback for unset ``fmt``.  CSV
     reads with a header; JSON is line-delimited.  Passing an explicit
     ``schema`` string avoids the inference scan — at 100 TB schema
     inference is a full extra pass, so production callers should
     always pass it."""
     import os
 
-    ext = os.path.splitext(path.rstrip("/"))[1].lower()
-    fmt = _FORMAT_BY_EXT.get(ext, "parquet")
+    if fmt is None:
+        ext = os.path.splitext(path.rstrip("/"))[1].lower()
+        fmt = _FORMAT_BY_EXT.get(ext, "parquet")
+    elif fmt not in set(_FORMAT_BY_EXT.values()):
+        raise ValueError(
+            f"unsupported input format {fmt!r}; expected one of "
+            f"{sorted(set(_FORMAT_BY_EXT.values()))}"
+        )
     reader = spark.read
     if schema:
         reader = reader.schema(schema)

@@ -162,6 +162,20 @@ def make_extract_batches(base_url: str, run_id: str, options=None):
     return extract_batches
 
 
+def check_run_id(run_id: str) -> str:
+    """Reject run_ids Spark's partition-column type inference would
+    read back as a non-string (all digits -> bigint): one such run
+    poisons the partitionBy(run_id) output/lineage directories with a
+    mixed-type partition column, breaking every later scan."""
+    if run_id.isdigit():
+        raise ValueError(
+            f"run_id {run_id!r} is all digits; partitionBy(run_id) would "
+            "be read back as bigint and mix types with string run_ids — "
+            "prefix it with a letter"
+        )
+    return run_id
+
+
 def with_partition_key(df: DataFrame, n_partitions: int) -> DataFrame:
     """Stable, content-derived partition key (resume key)."""
     return df.withColumn(
@@ -321,15 +335,24 @@ def committed_state(
     keys = lineage.select(F.col("partition_id").alias("partition_key")).distinct()
     if "n_partitions" not in lineage.columns:
         return keys, None
-    domains = [
-        r[0]
-        for r in lineage.select("n_partitions").distinct().collect()
-        if r[0] is not None
-    ]
+    rows = [r[0] for r in lineage.select("n_partitions").distinct().collect()]
+    domains = sorted(r for r in rows if r is not None)
+    has_null = any(r is None for r in rows)
     if len(domains) > 1:
         raise ValueError(
             f"lineage at {lineage_path} mixes partition-key domains "
-            f"{sorted(domains)}; resume cannot anti-join across domains"
+            f"{domains}; resume cannot anti-join across domains"
+        )
+    if domains and has_null:
+        # pre-upgrade rows (null n_partitions) mixed with a recorded
+        # domain: the null rows' keys may come from ANY parallelism, so
+        # adopting the recorded domain would silently skip or redo the
+        # legacy keys — exactly what the domain check exists to prevent
+        raise ValueError(
+            f"lineage at {lineage_path} mixes legacy rows (no recorded "
+            f"n_partitions) with domain {domains[0]}; resume cannot "
+            "verify the legacy keys' domain — rewrite the lineage with "
+            "an explicit n_partitions, or resume=False"
         )
     return keys, (int(domains[0]) if domains else None)
 
@@ -356,7 +379,12 @@ def run_extraction(
     ``(run_id, partition_key)`` — same shape as the Iceberg variant
     where both appends share a transaction.
     """
-    run_id = run_id or uuid.uuid4().hex[:12]
+    # 'r' prefix guarantees a non-numeric run_id: output is
+    # partitionBy(run_id), and Spark's partition-column type inference
+    # would read an all-digit run_id back as bigint — mixing types
+    # across appends and breaking read_committed/resume for the whole
+    # path (an all-hex-digit uuid4()[:12] happens with p≈0.35%/run)
+    run_id = check_run_id(run_id or "r" + uuid.uuid4().hex[:11])
     started_at = time.strftime("%Y-%m-%d %H:%M:%S", time.gmtime())
 
     done = None

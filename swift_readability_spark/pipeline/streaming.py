@@ -20,7 +20,12 @@ import time
 
 from pyspark.sql import SparkSession
 
-from .job import DOCUMENTS_SCHEMA, lineage_from_output, plan_extraction
+from .job import (
+    DOCUMENTS_SCHEMA,
+    check_run_id,
+    lineage_from_output,
+    plan_extraction,
+)
 
 
 def run_extraction_stream(
@@ -36,6 +41,7 @@ def run_extraction_stream(
     max_files_per_trigger: int | None = None,
 ) -> None:
     """Drain all available input files as micro-batches, then stop."""
+    run_id = check_run_id(run_id)
     if n_partitions is None:
         n_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
     checkpoint_path = checkpoint_path or output_path + "_checkpoint"

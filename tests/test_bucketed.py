@@ -104,3 +104,26 @@ def test_read_documents_all_formats(spark, corpus_dir, tmp_path_factory):
     flat = read_documents(spark, cs, schema="doc_id STRING, n_spans INT")
     assert flat.count() == n
     assert flat.schema["n_spans"].dataType.simpleString() == "int"
+
+
+def test_read_documents_explicit_format_beats_extension(
+    spark, corpus_dir, tmp_path_factory
+):
+    """The common lake layout is a directory of part files with no
+    extension on the directory path — sniffing would misread it as
+    parquet; the explicit fmt parameter must win (ADVICE r02)."""
+    import pytest
+
+    from swift_readability_spark.pipeline.io import read_documents
+
+    out = tmp_path_factory.mktemp("fmt")
+    docs = spark.read.parquet(corpus_dir + "/documents.parquet").filter(
+        F.col("doc_id").startswith("syn-")
+    )
+    n = docs.count()
+    d = str(out / "json_parts")  # extension-less directory of JSON parts
+    docs.write.json(d)
+    got = read_documents(spark, d, fmt="json")
+    assert got.count() == n and "spans" in got.columns
+    with pytest.raises(ValueError, match="unsupported input format"):
+        read_documents(spark, d, fmt="avro")

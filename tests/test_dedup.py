@@ -98,6 +98,60 @@ def test_verify_stage_scores_planted_pairs(spark, planted_dir):
     assert not any(a.startswith("boiler-") for a, _ in verified)
 
 
+def test_10k_member_bucket_completes_without_pair_blowup(spark, tmp_path):
+    """VERDICT r02 item 3 'done' criterion: a planted 10k-member LSH
+    bucket (10k identical docs -> identical signature -> one bucket per
+    band) completes and contributes zero pairs.  The window-count cap
+    drops the bucket before collect_set ever materializes its member
+    list (plan order pinned in test_plans.py); without the pre-filter
+    this would build 4 x 10k-member arrays and expand ~2x10^8 pairs."""
+    n = 10_000
+    boiler = "subscribe to our newsletter terms privacy cookie policy " * 8
+    rows = [(f"big-{i:05d}", boiler) for i in range(n)]
+    rows += [(f"pair-a", "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+             (f"pair-b", "alpha beta gamma delta epsilon zeta eta theta iota lambda")]
+    d = str(tmp_path)
+    spark.createDataFrame(rows, "doc_id string, text string").write.parquet(
+        f"{d}/documents.parquet"
+    )
+    pairs = {(r["doc_a"], r["doc_b"]) for r in lsh_candidate_pairs(spark, d).collect()}
+    assert not any(a.startswith("big-") for a, _ in pairs)
+    assert not any(b.startswith("big-") for _, b in pairs)
+    stats = lsh_bucket_stats(spark, d).collect()
+    assert all(r["max_bucket"] == n for r in stats)
+    assert sum(r["dropped_pairs"] for r in stats) == len(stats) * n * (n - 1) // 2
+
+
+def test_simhash_guard_fails_loudly_not_oom(spark, planted_dir, monkeypatch):
+    """The cap-less Hamming-band path must fail LOUDLY (assert_true
+    with a remedy message) when a bucket exceeds SIMHASH_GUARD_MAX,
+    never OOM silently.  Lower the guard below the planted boilerplate
+    cluster and expect the job to raise with the message."""
+    import swift_readability_spark.operators.dedup as dd
+
+    d, _ = planted_dir
+    monkeypatch.setattr(dd, "SIMHASH_GUARD_MAX", 10)
+    with pytest.raises(Exception, match="exact dedup|pigeonhole"):
+        dd.simhash_neardup_pairs(spark, d).collect()
+
+
+def test_embedding_neardup_has_teeth(spark):
+    """VERDICT r02 item 5: the oracle must compare real pairs — the
+    planted near-duplicates guarantee >0 rows, every planted pair
+    scores ~1.0 cosine, and blocking is label-free (signature join)."""
+    from swift_readability_spark.operators.dedup import (
+        N_PLANTED_NEARDUP,
+        embedding_neardup_pairs,
+    )
+
+    rows = embedding_neardup_pairs(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) > 0
+    planted = {(r["vec_a"], r["vec_b"]): r["cosine"] for r in rows
+               if r["vec_b"] >= 1_000_000}
+    assert len(planted) >= N_PLANTED_NEARDUP // 2  # sig flips may drop a few
+    assert all(c > 0.99 for c in planted.values())
+
+
 def test_simhash_bands_find_exact_cluster(spark, planted_dir):
     d, planted = planted_dir
     pairs = {

@@ -226,6 +226,46 @@ def test_resume_rejects_mismatched_key_domain(spark, corpus_dir, tmp_path_factor
     assert domains == {N_PARTITIONS}
 
 
+def test_numeric_run_id_rejected_and_generated_ids_safe():
+    """partitionBy(run_id) + Spark partition-column type inference:
+    an all-digit run_id reads back as bigint and poisons the output
+    directory with a mixed-type partition column (ADVICE r02)."""
+    import uuid as _uuid
+
+    from swift_readability_spark.pipeline.job import check_run_id
+
+    with pytest.raises(ValueError, match="digits"):
+        check_run_id("123456789012")
+    assert check_run_id("r123") == "r123"
+    # the generator shape: never all-digits by construction
+    assert not ("r" + _uuid.uuid4().hex[:11]).isdigit()
+
+
+def test_legacy_null_domain_rows_mixed_with_recorded_domain_raise(
+    spark, tmp_path_factory
+):
+    """Lineage mixing pre-upgrade rows (null n_partitions) with a
+    recorded domain must fail resume loudly: the legacy keys' domain
+    is unverifiable, so adopting the recorded one could silently skip
+    or redo work (ADVICE r02)."""
+    from swift_readability_spark.pipeline.job import committed_state
+
+    out = tmp_path_factory.mktemp("nulldomain")
+    lineage = str(out / "lineage")
+    schema = (
+        "run_id string, partition_id int, doc_count long, checksum string,"
+        " wall_ms double, started_at timestamp, finished_at timestamp,"
+        " n_partitions int"
+    )
+    rows = [
+        ("r-old", 0, 3, "x", 1.0, None, None, None),  # legacy: null domain
+        ("r-new", 1, 3, "y", 1.0, None, None, 8),
+    ]
+    spark.createDataFrame(rows, schema).write.parquet(lineage)
+    with pytest.raises(ValueError, match="legacy"):
+        committed_state(spark, lineage)
+
+
 def test_mega_doc_flows_through_heavy_path(spark, corpus_dir, extracted):
     """The synthetic mega-doc is present and non-trivially extracted."""
     mega = extracted["df"].filter(F.col("doc_id") == "syn-42-19").collect()

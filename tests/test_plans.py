@@ -64,6 +64,37 @@ def test_jaccard_verify_never_joins_on_shingle(spark, reg):
             assert "shingle" not in line, line
 
 
+def test_lsh_cap_applied_before_collect(spark, reg):
+    """VERDICT r02 item 3: the bucket cap must drop over-cap buckets
+    BEFORE collect_set materializes a member list (a degenerate
+    boilerplate bucket must cost a spill-safe window sort, not an agg
+    buffer).  Plan order, top-down: collect_set agg above the cap
+    Filter above the Window count — i.e. filter upstream of collect —
+    and NO Exchange between the window and the agg (shared
+    (band, bucket) partitioning)."""
+    plan = _plan(reg["lsh_candidate_pairs"](spark, SF))
+    i_collect = plan.index("collect_set")
+    i_filter = plan.index("<= 64")
+    i_window = plan.index("Window")
+    assert i_collect < i_filter < i_window
+    assert "Exchange" not in plan[i_collect:i_window]
+    # window shuffle + final distinct: exactly two Exchanges total
+    assert plan.count("Exchange") == 2
+
+
+def test_simhash_bands_guard_before_collect(spark, reg):
+    """Same property for the cap-less Hamming-band path: the loud
+    assert_true guard (and its window count) evaluates before any
+    member struct is collected."""
+    plan = _plan(reg["simhash_neardup_pairs"](spark, SF))
+    i_collect = plan.index("collect_set")
+    i_guard = plan.index("raise_error")  # assert_true compiles to this
+    i_window = plan.index("Window")
+    assert i_collect < i_guard
+    assert i_collect < i_window
+    assert "Exchange" not in plan[i_collect:i_window]
+
+
 def test_ann_bruteforce_broadcasts_query_vector(spark, reg):
     plan = _plan(reg["ann_bruteforce_topk"](spark, SF))
     assert "BroadcastNestedLoopJoin" in plan
