@@ -585,8 +585,7 @@ class Grabber:
         self.mark_data_tables(article_content)
         self.fix_lazy_images(article_content)
 
-        self.clean_conditionally(article_content, "form")
-        self.clean_conditionally(article_content, "fieldset")
+        self.clean_conditionally_group(article_content, ("form", "fieldset"))
         # one walk for the five unconditional cleans (same per-tag
         # removal order as five separate sweeps; nested victims are
         # skipped via the attachment check)
@@ -607,14 +606,32 @@ class Grabber:
         )
         self.clean_headers(article_content)
 
-        self.clean_conditionally(article_content, "table")
-        self.clean_conditionally(article_content, "ul")
-        self.clean_conditionally(article_content, "div")
+        self.clean_conditionally_group(article_content, ("table", "ul", "div"))
 
-        for h1 in article_content.get_elements_by_tag("h1"):
+        # ONE walk collects the four final-sweep tag lists (h1/p/br/
+        # table); each pass below re-checks live state (parent guards,
+        # descendant probes), and mutations on subtrees detached by an
+        # earlier pass are output-invisible, so pre-collected lists are
+        # equivalent to four sequential get_elements_by_tag sweeps
+        h1s: list[Element] = []
+        ps: list[Element] = []
+        brs: list[Element] = []
+        tables: list[Element] = []
+        _sweep = {"h1": h1s, "p": ps, "br": brs, "table": tables}
+        stack = list(reversed(article_content.children))
+        while stack:
+            nd = stack.pop()
+            if nd.IS_ELEMENT:
+                lst = _sweep.get(nd.tag)
+                if lst is not None:
+                    lst.append(nd)
+                if nd.children:
+                    stack.extend(reversed(nd.children))
+
+        for h1 in h1s:
             set_node_tag(h1, "h2")
 
-        for paragraph in reversed(article_content.get_elements_by_tag("p")):
+        for paragraph in reversed(ps):
             if paragraph.parent is None:
                 continue
             if not _has_descendant_tag(
@@ -622,14 +639,14 @@ class Grabber:
             ) and not get_inner_text(paragraph, False):
                 paragraph.remove()
 
-        for br in article_content.get_elements_by_tag("br"):
+        for br in brs:
             if br.parent is None:
                 continue
             nxt = next_significant_node(br.next_sibling)
             if nxt is not None and isinstance(nxt, Element) and nxt.tag == "p":
                 br.remove()
 
-        for table in article_content.get_elements_by_tag("table"):
+        for table in tables:
             if table.parent is None:
                 continue
             tbody = (
@@ -820,13 +837,35 @@ class Grabber:
                 node.remove()
 
     def clean_conditionally(self, e: Element, tag: str) -> None:
+        self.clean_conditionally_group(e, (tag,))
+
+    def clean_conditionally_group(self, e: Element, tags: tuple[str, ...]) -> None:
+        """cleanConditionally for several tags with ONE subtree walk.
+        Equivalent to sequential per-tag sweeps: tags are processed in
+        order over pre-collected lists, heuristics read live state, and
+        the attachment check skips elements detached by an earlier
+        tag's removals (the per-tag recollection did that implicitly);
+        removals never ADD elements of a later tag, and reverse
+        document order means a same-tag ancestor is processed after
+        its descendants (exactly as before)."""
         if not self.flag_clean_conditionally:
             return
-        for node in reversed(e.get_elements_by_tag(tag)):
-            if node.parent is None:
-                continue
-            if self._should_clean_conditionally(node, tag):
-                node.remove()
+        by_tag: dict[str, list[Element]] = {t: [] for t in tags}
+        stack = list(reversed(e.children))
+        while stack:
+            n = stack.pop()
+            if n.IS_ELEMENT:
+                lst = by_tag.get(n.tag)
+                if lst is not None:
+                    lst.append(n)
+                if n.children:
+                    stack.extend(reversed(n.children))
+        for tag in tags:
+            for node in reversed(by_tag[tag]):
+                if node.parent is None or not self._is_attached(node, e):
+                    continue
+                if self._should_clean_conditionally(node, tag):
+                    node.remove()
 
     # tags whose ELEMENT LISTS the conditional-clean heuristics need
     # (beyond the counts); every use below is an order-independent sum

@@ -30,14 +30,17 @@ def _is_single_image(node: Element) -> bool:
     return False
 
 
-def unwrap_noscript_images(doc: Document) -> None:
+def unwrap_noscript_images(doc: Document, imgs_and_noscripts: list | None = None) -> None:
     """Drop attribute-less placeholder imgs; replace single-image nodes
     preceding a single-image <noscript> with the noscript's img (keeping
-    old attrs as data-old-*)."""
-    # one walk for both tags (noscripts are never removed by the img
-    # pass, so the pre-collected list stays valid; _is_single_image
-    # reads the current tree state either way)
-    imgs_and_noscripts = doc.get_elements_by_tag("img", "noscript")
+    old attrs as data-old-*).
+
+    ``imgs_and_noscripts`` may be a pre-collected element list (extra
+    tags are ignored): one walk for both tags is safe because noscripts
+    are never removed by the img pass, and _is_single_image reads the
+    current tree state either way."""
+    if imgs_and_noscripts is None:
+        imgs_and_noscripts = doc.get_elements_by_tag("img", "noscript")
     for img in imgs_and_noscripts:
         if img.tag != "img":
             continue
@@ -95,9 +98,11 @@ def remove_scripts(doc: Document, scripts: list | None = None) -> None:
         el.remove()
 
 
-def replace_brs(elem: Element, doc: Document) -> None:
+def replace_brs(elem: Element, doc: Document, brs: list | None = None) -> None:
     """Runs of >=2 <br> become a <p> capturing following phrasing content."""
-    for br in list(elem.get_elements_by_tag("br")):
+    if brs is None:
+        brs = list(elem.get_elements_by_tag("br"))
+    for br in brs:
         if br.parent is None:
             continue
         nxt = br.next_sibling
@@ -132,18 +137,30 @@ def replace_brs(elem: Element, doc: Document) -> None:
 def prep_document(doc: Document) -> None:
     """Remove style tags, normalize <br> runs, retag <font> as <span>.
 
-    One walk collects styles and fonts together: style elements hold
-    raw text (never br/font descendants), and replace_brs only removes
-    <br>/whitespace nodes and re-parents phrasing content, so the
-    pre-collected font list is still the complete, live set when the
-    retag pass runs (same order of operations as the canonical code)."""
-    styles_and_fonts = doc.get_elements_by_tag("style", "font")
-    for el in styles_and_fonts:
-        if el.tag == "style":
-            el.remove()
+    One walk collects styles, fonts AND brs together: style elements
+    hold raw text (never br/font descendants), every br element lives
+    under body (the tree builder's ensure-body rule), and replace_brs
+    only removes <br>/whitespace nodes and re-parents phrasing content
+    (guards re-check live state), so the three pre-collected lists are
+    each the complete live set when their pass runs (same order of
+    operations as the canonical code)."""
+    styles: list[Element] = []
+    fonts: list[Element] = []
+    brs: list = []
+    _want = {"style": styles, "font": fonts, "br": brs}
+    stack = list(reversed(doc.children))
+    while stack:
+        n = stack.pop()
+        if n.IS_ELEMENT:
+            lst = _want.get(n.tag)
+            if lst is not None:
+                lst.append(n)
+            if n.children:
+                stack.extend(reversed(n.children))
+    for el in styles:
+        el.remove()
     body = doc.body
     if body is not None:
-        replace_brs(body, doc)
-    for el in styles_and_fonts:
-        if el.tag == "font":
-            set_node_tag(el, "span")
+        replace_brs(body, doc, brs)
+    for el in fonts:
+        set_node_tag(el, "span")

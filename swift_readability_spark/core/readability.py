@@ -36,6 +36,10 @@ class ReadabilityOptions:
     # promotion) when no custom serializer is given
     serializer: object = None
     use_xml_serializer: bool = False
+    # debug log sink: callable(message: str).  When ``debug`` is true
+    # and no sink is given, messages go to stderr — the analogue of the
+    # reference's per-stage logging (Readability.swift:118-175)
+    logger: object = None
 
 
 @dataclass
@@ -105,6 +109,20 @@ def parse_document(
 
     options = options or ReadabilityOptions()
 
+    # debug logging (reference per-stage logs, Readability.swift:118-175):
+    # debug=True promotes every stage to a timed, logged stage
+    log = None
+    if options.debug:
+        if options.logger is not None:
+            log = options.logger
+        else:
+            import sys as _sys
+
+            def log(msg: str) -> None:
+                print(f"[readability] {msg}", file=_sys.stderr)
+        if timings is None:
+            timings = {}
+
     @contextmanager
     def stage(label: str):
         if timings is None:
@@ -112,7 +130,10 @@ def parse_document(
             return
         t0 = time.perf_counter()
         yield
-        timings[label] = timings.get(label, 0.0) + (time.perf_counter() - t0) * 1000.0
+        ms = (time.perf_counter() - t0) * 1000.0
+        timings[label] = timings.get(label, 0.0) + ms
+        if log is not None:
+            log(f"{label}: {ms:.2f} ms")
 
     if options.max_elems_to_parse > 0:
         num_tags = sum(1 for n in doc.iter_subtree() if isinstance(n, Element))
@@ -127,10 +148,13 @@ def parse_document(
         readerable = is_probably_readerable(doc)
 
     with stage("preprocess"):
-        unwrap_noscript_images(doc)
-        # one walk shared by JSON-LD extraction and script removal
-        # (no mutation between the two)
-        scripts = doc.get_elements_by_tag("script", "noscript")
+        # one walk shared by the noscript unwrap, JSON-LD extraction
+        # and script removal: the unwrap never inserts script/noscript
+        # elements (its replacement subtree is a single-image chain),
+        # so the script/noscript sub-list stays complete and live
+        elems = doc.get_elements_by_tag("img", "noscript", "script")
+        unwrap_noscript_images(doc, elems)
+        scripts = [el for el in elems if el.tag != "img"]
         jsonld = {} if options.disable_jsonld else get_jsonld(doc, scripts)
         remove_scripts(doc, scripts)
         prep_document(doc)

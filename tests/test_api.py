@@ -113,6 +113,17 @@ def test_parse_with_timings_labels():
     assert all(v >= 0 for v in timings.values())
 
 
+def test_debug_logs_per_stage():
+    """debug=True emits per-stage timing logs (reference analogue:
+    Readability.swift:118-175); a custom logger sink captures them."""
+    lines: list[str] = []
+    r = parse(ARTICLE, URL, ReadabilityOptions(debug=True, logger=lines.append))
+    assert r is not None
+    stages = {ln.split(":")[0] for ln in lines}
+    assert {"readerable", "preprocess", "metadata", "grabArticle", "postprocess"} <= stages
+    assert all(re.search(r"\d+\.\d\d ms$", ln) for ln in lines)
+
+
 def test_nb_top_candidates_option_accepted():
     r = parse(ARTICLE, URL, ReadabilityOptions(nb_top_candidates=2))
     assert r is not None
