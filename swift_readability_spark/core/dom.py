@@ -896,13 +896,17 @@ class _TreeBuilder:
                 ):
                     break
 
-        el = self._open(tag, attrs)
+        # _open/_push inlined (p/div/li/td are the most common tags and
+        # all land here; one Python frame per tag matters at 100k tags
+        # per large page).  Non-void self-closing tags (<div/>) are
+        # treated as open-only in HTML5, but real-world usage intends
+        # emptiness; keep closed.
+        el = Element(tag, dict(attrs) if attrs else None)
+        top = self.stack[-1]
+        el.parent = top
+        top.children.append(el)
         if tag not in VOID_ELEMENTS and not self_closing:
-            self._push(el)
-        elif tag not in VOID_ELEMENTS and self_closing:
-            # non-void self-closing tags are treated as open-only in HTML5,
-            # but real-world usage (<div/>) intends emptiness; keep closed.
-            pass
+            self.stack.append(el)
 
     def handle_endtag(self, tag):
         if tag in VOID_ELEMENTS:
@@ -922,9 +926,15 @@ class _TreeBuilder:
                     self.stack.pop()
                 self.mode = 1
             return
-        for i in range(len(self.stack) - 1, 0, -1):
-            if self.stack[i].tag == tag:
-                del self.stack[i:]
+        stack = self.stack
+        # fast path: properly nested markup closes the top of stack
+        # (stack[0] is #document, which never matches a real tag name)
+        if stack[-1].tag == tag:
+            stack.pop()
+            return
+        for i in range(len(stack) - 1, 0, -1):
+            if stack[i].tag == tag:
+                del stack[i:]
                 return
         # no matching open tag: ignore
 

@@ -617,16 +617,23 @@ class Grabber:
         ps: list[Element] = []
         brs: list[Element] = []
         tables: list[Element] = []
-        _sweep = {"h1": h1s, "p": ps, "br": brs, "table": tables}
         stack = list(reversed(article_content.children))
+        pop = stack.pop
+        extend = stack.extend
         while stack:
-            nd = stack.pop()
+            nd = pop()
             if nd.IS_ELEMENT:
-                lst = _sweep.get(nd.tag)
-                if lst is not None:
-                    lst.append(nd)
+                tag = nd.tag
+                if tag == "p":
+                    ps.append(nd)
+                elif tag == "br":
+                    brs.append(nd)
+                elif tag == "table":
+                    tables.append(nd)
+                elif tag == "h1":
+                    h1s.append(nd)
                 if nd.children:
-                    stack.extend(reversed(nd.children))
+                    extend(reversed(nd.children))
 
         for h1 in h1s:
             set_node_tag(h1, "h2")

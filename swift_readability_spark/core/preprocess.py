@@ -147,16 +147,21 @@ def prep_document(doc: Document) -> None:
     styles: list[Element] = []
     fonts: list[Element] = []
     brs: list = []
-    _want = {"style": styles, "font": fonts, "br": brs}
     stack = list(reversed(doc.children))
+    pop = stack.pop
+    extend = stack.extend
     while stack:
-        n = stack.pop()
+        n = pop()
         if n.IS_ELEMENT:
-            lst = _want.get(n.tag)
-            if lst is not None:
-                lst.append(n)
+            tag = n.tag
+            if tag == "br":
+                brs.append(n)
+            elif tag == "style":
+                styles.append(n)
+            elif tag == "font":
+                fonts.append(n)
             if n.children:
-                stack.extend(reversed(n.children))
+                extend(reversed(n.children))
     for el in styles:
         el.remove()
     body = doc.body
