@@ -265,7 +265,8 @@ class Grabber:
             if node.tag == "html":
                 self.article_lang = node.get_attr("lang")
 
-            match_string = node.class_name + " " + node.id
+            _attrs = node.attrs
+            match_string = _attrs.get("class", "") + " " + _attrs.get("id", "")
 
             if not is_probably_visible(node):
                 node = remove_and_get_next(node)

@@ -243,16 +243,21 @@ def set_node_tag(node: Element, tag: str) -> Element:
 
 
 def is_probably_visible(node: Element) -> bool:
-    if node.style_prop("display") == "none":
-        return False
-    if node.style_prop("visibility") == "hidden":
-        return False
-    if node.has_attr("hidden"):
+    # fast path: every check reads an attribute, so an attribute-less
+    # element (the majority on real pages) is trivially visible
+    attrs = node.attrs
+    if not attrs:
+        return True
+    if "style" in attrs:
+        if node.style_prop("display") == "none":
+            return False
+        if node.style_prop("visibility") == "hidden":
+            return False
+    if "hidden" in attrs:
         return False
     if (
-        node.has_attr("aria-hidden")
-        and node.get_attr("aria-hidden") == "true"
-        and "fallback-image" not in node.class_name
+        attrs.get("aria-hidden") == "true"
+        and "fallback-image" not in attrs.get("class", "")
     ):
         return False
     return True
