@@ -80,3 +80,45 @@ class TestUnterminatedQuoteRecovery:
         # round-trip stability: re-parsing the serialized form yields
         # identical serialization (junk attr names dropped once)
         assert serialize_html(parse_html(out)) == out
+
+
+class TestFastPaths:
+    """The attribute-less and quote-free-blob fast paths must be
+    byte-equivalent to the general _TAG_END machinery."""
+
+    def test_attributeless_tags(self):
+        doc = parse_html("<div><p>a</p><b>x</b></div>")
+        assert serialize_html(doc.body, inner=True) == "<div><p>a</p><b>x</b></div>"
+
+    def test_attributeless_rawtext_tags(self):
+        doc = parse_html("<style>p { color: red }</style><p>t</p>")
+        styles = doc.get_elements_by_tag("style")
+        assert styles and styles[0].text_content == "p { color: red }"
+
+    def test_quote_free_blob_bare_values(self):
+        doc = parse_html('<div id=a class=b-c data-x=1>t</div>')
+        d = doc.get_elements_by_tag("div")[0]
+        assert d.get_attr("id") == "a"
+        assert d.get_attr("class") == "b-c"
+        assert d.get_attr("data-x") == "1"
+
+    def test_quote_free_self_closing(self):
+        # HTML5: an unquoted value consumes a trailing '/' (foo=bar/ is
+        # value "bar/", not self-closing); a space before '/' makes it
+        # a genuine self-closing marker
+        doc = parse_html("<div><span foo=bar />t</div>")
+        span = doc.get_elements_by_tag("span")[0]
+        assert span.get_attr("foo") == "bar"
+        assert not span.children  # self-closing: text lands outside
+        assert doc.body.text_content == "t"
+        doc2 = parse_html("<div><span foo=bar/>t</div>")
+        assert doc2.get_elements_by_tag("span")[0].get_attr("foo") == "bar/"
+
+    def test_gt_inside_quoted_value_still_honored(self):
+        # quotes present -> slow path: '>' inside the value is NOT a tag end
+        doc = parse_html('<div title="a>b">t</div>')
+        assert doc.get_elements_by_tag("div")[0].get_attr("title") == "a>b"
+
+    def test_quote_free_blob_with_gt_ends_at_first_gt(self):
+        doc = parse_html("<div data-x=1>rest</div>")
+        assert doc.body.text_content == "rest"
