@@ -152,6 +152,10 @@ class Grabber:
         el_id = e.id
         if el_id:
             weight += _string_weight(el_id)
+        if weight:
+            # retry-skip tracker: a zero-weight-everywhere attempt is
+            # provably identical with the flag disabled
+            self._attempt_weight_seen = True
         return weight
 
     def initialize_node(self, node: Element) -> None:
@@ -234,19 +238,33 @@ class Grabber:
                 _dom.journal_stop()
                 _dom.journal_replay(journal, doc)
 
-                if self.flag_strip_unlikelys:
-                    self.flag_strip_unlikelys = False
-                elif self.flag_weight_classes:
-                    self.flag_weight_classes = False
-                elif self.flag_clean_conditionally:
-                    self.flag_clean_conditionally = False
-                else:
-                    self.attempts.sort(key=lambda a: a[1], reverse=True)
-                    if not self.attempts[0][1]:
-                        return None
-                    article = self.attempts[0][0]
-                    self._set_article_dir()
-                    return article
+                # relax flags; a retry whose flag gated NOTHING in the
+                # last attempt provably reproduces it byte-for-byte
+                # (same pristine start state after replay + no flag-off
+                # divergence point), so it is skipped.  The canonical
+                # code re-runs anyway; its attempts list just gains a
+                # duplicate (same article, same length), which the
+                # stable best-attempt sort resolves to the same result.
+                while True:
+                    if self.flag_strip_unlikelys:
+                        self.flag_strip_unlikelys = False
+                        if self._attempt_stripped:
+                            break
+                    elif self.flag_weight_classes:
+                        self.flag_weight_classes = False
+                        if self._attempt_weight_seen:
+                            break
+                    elif self.flag_clean_conditionally:
+                        self.flag_clean_conditionally = False
+                        if self._attempt_cond_cleaned:
+                            break
+                    else:
+                        self.attempts.sort(key=lambda a: a[1], reverse=True)
+                        if not self.attempts[0][1]:
+                            return None
+                        article = self.attempts[0][0]
+                        self._set_article_dir()
+                        return article
                 _dom.journal_start()
         finally:
             _dom.journal_stop()
@@ -255,6 +273,15 @@ class Grabber:
         doc = self.doc
         page = doc.body
         strip_unlikely = self.flag_strip_unlikelys
+
+        # retry-skip trackers: record whether anything each flag gates
+        # actually HAPPENED this attempt.  If not, re-running with that
+        # flag disabled provably reproduces this attempt byte-for-byte
+        # (the flag-off code path differs only where these fire), so
+        # grab_article skips the redundant retry.
+        self._attempt_stripped = False
+        self._attempt_weight_seen = False
+        self._attempt_cond_cleaned = False
 
         elements_to_score: list[Element] = []
         node: Element | None = doc.document_element
@@ -312,10 +339,12 @@ class Grabber:
                     and node.tag != "body"
                     and node.tag != "a"
                 ):
+                    self._attempt_stripped = True
                     node = remove_and_get_next(node)
                     continue
                 role = node.get_attr("role")
                 if role in R.UNLIKELY_ROLES:
+                    self._attempt_stripped = True
                     node = remove_and_get_next(node)
                     continue
 
@@ -873,6 +902,7 @@ class Grabber:
                 if node.parent is None or not self._is_attached(node, e):
                     continue
                 if self._should_clean_conditionally(node, tag):
+                    self._attempt_cond_cleaned = True
                     node.remove()
 
     # tags whose ELEMENT LISTS the conditional-clean heuristics need
