@@ -730,3 +730,74 @@ ORDER BY band
 
 
 QUERIES["simhash_band_stats"] = (simhash_band_stats, _simhash_band_stats_sql())
+
+
+# -- incremental dedup: a new crawl batch vs the committed corpus ----------
+# The production shape at 100 TB: the committed corpus is petabytes,
+# the daily increment is small.  The increment NEVER joins the raw
+# committed text — only its content-hash set (bucketed/partitioned on
+# the hash in production, a broadcast-able skeleton at any increment
+# size); within the increment, the canonical representative is the
+# minimum doc_id, computed by one hash groupBy.  Split rule for the
+# demo: doc_id < INCREMENT_SPLIT is "committed", the rest is the new
+# batch — deterministic, so the whole operator has a closed-form SQL
+# oracle.
+INCREMENT_SPLIT = 250
+
+
+def dedup_incremental(spark, sf_dir):
+    """New-batch dedup against the committed corpus: per new document,
+    whether its normalized content already exists in the committed set
+    (left-semi on content hash -> flag) and its canonical doc within
+    the batch."""
+    d = read(spark, sf_dir, "documents")
+    norm = F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
+    hashed = d.select("doc_id", norm.alias("content_hash"))
+    committed = (
+        hashed.filter(F.col("doc_id") < INCREMENT_SPLIT)
+        .select("content_hash")
+        .distinct()
+    )
+    batch = hashed.filter(F.col("doc_id") >= INCREMENT_SPLIT)
+    flagged = batch.join(
+        F.broadcast(committed.withColumn("_seen", F.lit(True))),
+        "content_hash",
+        "left",
+    ).withColumn("already_committed", F.coalesce(F.col("_seen"), F.lit(False)))
+    canon = batch.groupBy("content_hash").agg(
+        F.min("doc_id").alias("canonical_in_batch")
+    )
+    return (
+        flagged.join(canon, "content_hash")
+        .select(
+            "doc_id",
+            "already_committed",
+            "canonical_in_batch",
+            (F.col("doc_id") == F.col("canonical_in_batch")).alias("is_batch_canonical"),
+        )
+    )
+
+
+DEDUP_INCREMENTAL_SQL = f"""
+WITH hashed AS (
+  SELECT doc_id,
+         md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS content_hash
+  FROM documents
+),
+committed AS (
+  SELECT DISTINCT content_hash FROM hashed WHERE doc_id < {INCREMENT_SPLIT}
+),
+batch AS (SELECT * FROM hashed WHERE doc_id >= {INCREMENT_SPLIT}),
+canon AS (
+  SELECT content_hash, min(doc_id) AS canonical_in_batch FROM batch GROUP BY content_hash
+)
+SELECT b.doc_id AS doc_id,
+       (c.content_hash IS NOT NULL) AS already_committed,
+       canon.canonical_in_batch AS canonical_in_batch,
+       b.doc_id = canon.canonical_in_batch AS is_batch_canonical
+FROM batch b
+LEFT JOIN committed c USING (content_hash)
+JOIN canon USING (content_hash)
+"""
+
+QUERIES["dedup_incremental"] = (dedup_incremental, DEDUP_INCREMENTAL_SQL)
