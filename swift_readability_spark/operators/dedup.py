@@ -801,3 +801,94 @@ JOIN canon USING (content_hash)
 """
 
 QUERIES["dedup_incremental"] = (dedup_incremental, DEDUP_INCREMENTAL_SQL)
+
+
+# -- benchmark decontamination ---------------------------------------------
+# The training-data-pipeline operator every eval-aware corpus needs:
+# flag corpus documents that share any N-gram with a benchmark/eval
+# set, so eval text never leaks into training data.  Scale shape: the
+# eval set is tiny (benchmarks are KBs-MBs) -> its distinct gram-hash
+# set is BROADCAST; the corpus side is a map-side gram explode +
+# broadcast semi-join + doc-level any() — no corpus-keyed shuffle
+# beyond one groupBy on doc_id, no skew (grams are deduped per doc
+# before the join).  Demo split: doc_id < EVAL_SET_SIZE is the "eval
+# set" — deterministic, so the operator has a closed-form SQL oracle.
+EVAL_SET_SIZE = 20
+DECON_NGRAM = 8
+
+
+def _gram_expr_spark(n: int) -> str:
+    parts = ", ".join(f"element_at(words, i + {j})" for j in range(n))
+    return (
+        f"CASE WHEN size(words) >= {n} THEN"
+        f" transform(sequence(1, size(words) - {n - 1}),"
+        f" i -> concat_ws(' ', {parts}))"
+        f" ELSE array() END"
+    )
+
+
+def _gram_expr_duck(n: int) -> str:
+    parts = " || ' ' || ".join(f"words[i + {j}]" for j in range(n))
+    return (
+        f"CASE WHEN len(words) >= {n} THEN"
+        f" [{parts} FOR i IN range(1, len(words) - {n - 2})]"
+        f" ELSE [] END"
+    )
+
+
+def decontaminate_against_eval(spark, sf_dir):
+    """Per non-eval document: does it share any {DECON_NGRAM}-gram with
+    the eval set, and how many distinct grams overlap."""
+    d = read(spark, sf_dir, "documents")
+    grams = d.selectExpr(
+        "doc_id", f"{_SPARK_WORDS} AS words"
+    ).selectExpr(
+        "doc_id",
+        f"array_distinct({_gram_expr_spark(DECON_NGRAM)}) AS grams",
+    )
+    eval_grams = (
+        grams.filter(F.col("doc_id") < EVAL_SET_SIZE)
+        .select(F.explode("grams").alias("gram"))
+        .distinct()
+    )
+    corpus = grams.filter(F.col("doc_id") >= EVAL_SET_SIZE)
+    hits = (
+        corpus.select("doc_id", F.explode("grams").alias("gram"))
+        .join(F.broadcast(eval_grams), "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("overlap_grams"))
+    )
+    return (
+        corpus.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("overlap_grams"), F.lit(0)).alias("overlap_grams"),
+            (F.coalesce(F.col("overlap_grams"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+DECONTAMINATE_SQL = f"""
+WITH w AS (SELECT doc_id, {_DUCK_WORDS} AS words FROM documents),
+grams AS (SELECT doc_id, list_distinct({_gram_expr_duck(DECON_NGRAM)}) AS grams FROM w),
+eval_grams AS (
+  SELECT DISTINCT unnest(grams) AS gram FROM grams WHERE doc_id < {EVAL_SET_SIZE}
+),
+corpus AS (SELECT * FROM grams WHERE doc_id >= {EVAL_SET_SIZE}),
+hits AS (
+  SELECT doc_id, count(*) AS overlap_grams
+  FROM (SELECT doc_id, unnest(grams) AS gram FROM corpus) c
+  WHERE gram IN (SELECT gram FROM eval_grams)
+  GROUP BY doc_id
+)
+SELECT corpus.doc_id AS doc_id,
+       coalesce(hits.overlap_grams, 0) AS overlap_grams,
+       coalesce(hits.overlap_grams, 0) > 0 AS contaminated
+FROM corpus LEFT JOIN hits ON corpus.doc_id = hits.doc_id
+"""
+
+QUERIES["decontaminate_against_eval"] = (
+    decontaminate_against_eval,
+    DECONTAMINATE_SQL,
+)
