@@ -892,3 +892,79 @@ QUERIES["decontaminate_against_eval"] = (
     decontaminate_against_eval,
     DECONTAMINATE_SQL,
 )
+
+
+# -- duplicate clusters: connected components over verified pairs ----------
+# Pairs are only half the dedup story: A~B and B~C must collapse into
+# ONE cluster {A,B,C} with one canonical doc.  Connected components via
+# iterative minimum-label propagation — the standard large-graph
+# algorithm (hash-join per round, no single-machine union-find): each
+# round every vertex adopts the min label among itself and its
+# neighbors; duplicate clusters are near-cliques, so convergence takes
+# O(cluster diameter) ≈ 2-4 rounds, checked by an aggregate-only
+# fixpoint probe (count of changed labels — never a collect of data).
+MAX_CC_ROUNDS = 20
+
+
+def dedup_clusters(spark, sf_dir):
+    """(doc_id, cluster_id) for every doc in a verified near-dup pair;
+    cluster_id = min doc_id reachable through the pair graph."""
+    edges = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    bidir = edges.union(
+        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    labels = (
+        bidir.select(F.col("doc_a").alias("doc_id")).distinct()
+        .withColumn("label", F.col("doc_id"))
+    )
+    # small graph per cluster: cache the edge list once; each round is
+    # one join + one groupBy (at 10^12 docs: checkpoint labels every
+    # few rounds to cut lineage, same plan otherwise)
+    bidir = bidir.cache()
+    for _ in range(MAX_CC_ROUNDS):
+        neighbor_min = (
+            bidir.join(labels, bidir.doc_b == labels.doc_id)
+            .groupBy(bidir.doc_a)
+            .agg(F.min("label").alias("nmin"))
+            .withColumnRenamed("doc_a", "doc_id")
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        new_labels = new_labels.cache()
+        changed = (
+            labels.withColumnRenamed("label", "old")
+            .join(new_labels, "doc_id")
+            .filter(F.col("old") != F.col("label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("cluster_id"))
+
+
+def _clusters_sql() -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({_jaccard_sql()}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+)
+SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+"""
+
+
+QUERIES["dedup_clusters"] = (dedup_clusters, _clusters_sql())

@@ -174,3 +174,27 @@ def test_simhash_bands_find_exact_cluster(spark, planted_dir):
         if bin(fp[a] ^ fp[b]).count("1") <= SIMHASH_MAX_HAMMING
     }
     assert pairs == brute
+
+
+def test_dedup_clusters_transitive(spark, tmp_path):
+    """A~B and B~C must collapse into ONE cluster with min-id
+    canonical, even without a direct A~C pair edge."""
+    import random
+
+    from swift_readability_spark.operators.dedup import dedup_clusters
+
+    rng = random.Random(7)
+    vocab = [f"w{i:03d}" for i in range(300)]
+    base = [rng.choice(vocab) for _ in range(80)]
+    b = list(base); b[10] = "xb"; b[20] = "xb2"
+    c = list(b);    c[40] = "xc"; c[50] = "xc2"   # chain: a~b~c
+    rows = [("a-doc", " ".join(base)), ("b-doc", " ".join(b)), ("c-doc", " ".join(c))]
+    for i in range(10):
+        rows.append((f"noise-{i:02d}", " ".join(rng.choice(vocab) for _ in range(80))))
+    d = str(tmp_path)
+    spark.createDataFrame(rows, "doc_id string, text string").write.parquet(
+        f"{d}/documents.parquet"
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(spark, d).collect()}
+    assert got.get("a-doc") == got.get("b-doc") == got.get("c-doc") == "a-doc"
+    assert not any(k.startswith("noise-") for k in got)
