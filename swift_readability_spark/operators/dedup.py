@@ -968,3 +968,39 @@ SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
 
 
 QUERIES["dedup_clusters"] = (dedup_clusters, _clusters_sql())
+
+
+# -- deterministic dataset split --------------------------------------------
+# Train/val/test assignment must be a PURE FUNCTION of the document id
+# (stable under re-runs, resumes, and corpus growth — never a random()
+# that reshuffles docs between splits on every run).  The portable
+# 32-bit hash keys the split so both engines agree bit-for-bit; at
+# 100 TB this is a map-side projection, zero shuffle.
+SPLIT_BUCKETS = 100
+VAL_PCT = 5
+TEST_PCT = 5
+
+
+def dataset_split(spark, sf_dir):
+    """(doc_id, bucket, split) — hash-stable train/val/test labels."""
+    d = read(spark, sf_dir, "documents")
+    bucket = f"pmod({_spark_hash('CAST(doc_id AS STRING)')}, {SPLIT_BUCKETS})"
+    return d.selectExpr(
+        "doc_id",
+        f"{bucket} AS bucket",
+        f"CASE WHEN {bucket} < {VAL_PCT} THEN 'val'"
+        f" WHEN {bucket} < {VAL_PCT + TEST_PCT} THEN 'test'"
+        f" ELSE 'train' END AS split",
+    )
+
+
+DATASET_SPLIT_SQL = f"""
+SELECT doc_id,
+       {_duck_hash('CAST(doc_id AS VARCHAR)')} % {SPLIT_BUCKETS} AS bucket,
+       CASE WHEN {_duck_hash('CAST(doc_id AS VARCHAR)')} % {SPLIT_BUCKETS} < {VAL_PCT} THEN 'val'
+            WHEN {_duck_hash('CAST(doc_id AS VARCHAR)')} % {SPLIT_BUCKETS} < {VAL_PCT + TEST_PCT} THEN 'test'
+            ELSE 'train' END AS split
+FROM documents
+"""
+
+QUERIES["dataset_split"] = (dataset_split, DATASET_SPLIT_SQL)
