@@ -31,9 +31,13 @@ def get_inner_text(node: Node, normalize: bool = True) -> str:
     return text
 
 
+_WS_SPLIT = re.compile(r"\s+")
+_ALL_WS_RE = re.compile(r"^\s*$")
+
+
 def word_count(s: str) -> int:
     # JS str.split(/\s+/).length: empty string -> ['']; leading ws -> ['', ...]
-    parts = re.split(r"\s+", s)
+    parts = _WS_SPLIT.split(s)
     return len(parts)
 
 
@@ -221,7 +225,7 @@ def next_significant_node(node: Node | None) -> Node | None:
     nxt = node
     while nxt is not None and not isinstance(nxt, Element):
         text = nxt.text_content
-        if not re.match(r"^\s*$", text) and not _all_js_ws(text):
+        if not _ALL_WS_RE.match(text) and not _all_js_ws(text):
             break
         nxt = nxt.next_sibling
     return nxt

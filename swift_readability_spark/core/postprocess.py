@@ -12,6 +12,11 @@ import re
 from urllib.parse import quote, urlsplit, urlunsplit
 
 from . import regexps as R
+
+_EMBEDDED_WS = re.compile(r"[\t\n\r]")
+_SCHEME_RE = re.compile(r"^([a-zA-Z][a-zA-Z0-9+.-]*):")
+_DRIVE_PIPE = re.compile(r"^(file:///)([A-Za-z])\|")
+_WS_SPLIT = re.compile(r"\s+")
 from .dom import Document, Element, TextNode
 from .helpers import (
     get_next_node,
@@ -84,8 +89,8 @@ def to_absolute_uri(uri: str, base_uri: str, document_uri: str) -> str:
     try:
         cleaned = uri.strip(_C0_TRIM)
         # WHATWG strips embedded tabs/newlines
-        cleaned = re.sub(r"[\t\n\r]", "", cleaned)
-        scheme_match = re.match(r"^([a-zA-Z][a-zA-Z0-9+.-]*):", cleaned)
+        cleaned = _EMBEDDED_WS.sub("", cleaned)
+        scheme_match = _SCHEME_RE.match(cleaned)
         if scheme_match and scheme_match.group(1).lower() not in _SPECIAL_SCHEMES:
             # non-special absolute URL (data:, mailto:, javascript:, about:)
             return cleaned
@@ -94,7 +99,7 @@ def to_absolute_uri(uri: str, base_uri: str, document_uri: str) -> str:
         resolved = _whatwg_join(base_uri, cleaned, bool(scheme_match))
         # WHATWG file-URL quirk: a Windows drive letter written as C| is
         # normalized to C:
-        resolved = re.sub(r"^(file:///)([A-Za-z])\|", r"\1\2:", resolved)
+        resolved = _DRIVE_PIPE.sub(r"\1\2:", resolved)
         parts = urlsplit(resolved)
         scheme = parts.scheme.lower()
         netloc = parts.netloc
@@ -207,7 +212,7 @@ def simplify_nested_elements(article_content: Element) -> None:
 def clean_classes(node: Element, classes_to_preserve: tuple[str, ...]) -> None:
     class_name = " ".join(
         cls
-        for cls in re.split(r"\s+", node.get_attr("class") or "")
+        for cls in _WS_SPLIT.split(node.get_attr("class") or "")
         if cls in classes_to_preserve
     )
     if class_name:
