@@ -458,3 +458,63 @@ LIMIT {TOP_TERMS_K}
 """
 
 QUERIES["top_terms"] = (top_terms, TOP_TERMS_SQL)
+
+
+# -- repetition stats (Gopher-style quality signals) ------------------------
+# Published data-quality pipelines (Gopher's repetition rules, Dolma,
+# RefinedWeb) drop documents whose content is dominated by repeated
+# fragments.  Per document: fraction of words that are duplicates of an
+# earlier word, and the same for 2-grams — all array-native Spark
+# built-ins (whole-stage codegen, zero Python), map-side only.
+from .dedup import _DUCK_WORDS as _R_DUCK_WORDS
+from .dedup import _SPARK_WORDS as _R_SPARK_WORDS
+
+
+def repetition_stats(spark, sf_dir):
+    """(doc_id, n_words, dup_word_frac, dup_bigram_frac) — repetition
+    quality signals for filter thresholds."""
+    d = read(spark, sf_dir, "documents")
+    bigram = (
+        "CASE WHEN size(words) >= 2 THEN"
+        " transform(sequence(1, size(words) - 1),"
+        " i -> concat_ws(' ', element_at(words, i), element_at(words, i + 1)))"
+        " ELSE array() END"
+    )
+    return (
+        d.selectExpr("doc_id", f"{_R_SPARK_WORDS} AS words")
+        .selectExpr("doc_id", "words", f"{bigram} AS bigrams")
+        .selectExpr(
+            "doc_id",
+            "size(words) AS n_words",
+            # floor-based rounding: engine-portable on doubles (see _r)
+            "CASE WHEN size(words) = 0 THEN 0.0D ELSE"
+            " floor((1.0D - size(array_distinct(words)) / size(words)) * 10000 + 0.5) / 10000"
+            " END AS dup_word_frac",
+            "CASE WHEN size(bigrams) = 0 THEN 0.0D ELSE"
+            " floor((1.0D - size(array_distinct(bigrams)) / size(bigrams)) * 10000 + 0.5) / 10000"
+            " END AS dup_bigram_frac",
+        )
+    )
+
+
+REPETITION_SQL = f"""
+WITH w AS (SELECT doc_id, {_R_DUCK_WORDS} AS words FROM documents),
+b AS (
+  SELECT doc_id, words,
+         CASE WHEN len(words) >= 2 THEN
+           [words[i] || ' ' || words[i+1] FOR i IN range(1, len(words))]
+         ELSE [] END AS bigrams
+  FROM w
+)
+SELECT doc_id,
+       len(words) AS n_words,
+       CASE WHEN len(words) = 0 THEN 0.0
+            ELSE floor((1.0 - len(list_distinct(words)) / len(words)) * 10000 + 0.5) / 10000
+       END AS dup_word_frac,
+       CASE WHEN len(bigrams) = 0 THEN 0.0
+            ELSE floor((1.0 - len(list_distinct(bigrams)) / len(bigrams)) * 10000 + 0.5) / 10000
+       END AS dup_bigram_frac
+FROM b
+"""
+
+QUERIES["repetition_stats"] = (repetition_stats, REPETITION_SQL)
