@@ -123,3 +123,99 @@ def test_caches_invalidated_after_replay():
         D.journal_stop()
     D.journal_replay(journal, doc)
     assert "one" in body.text_content  # restored text visible, not stale
+
+
+# -- property test: random journaled mutation sequences replay exactly ------
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def _mutation_script(draw):
+    """A list of (op, int-args) applied against whatever the live tree
+    offers at execution time."""
+    n = draw(st.integers(min_value=1, max_value=25))
+    ops = []
+    for _ in range(n):
+        ops.append(
+            (
+                draw(st.sampled_from(
+                    ["remove", "move", "retag", "set_attr", "del_attr",
+                     "insert_fresh", "score", "mark_table"]
+                )),
+                draw(st.integers(min_value=0, max_value=10**6)),
+                draw(st.integers(min_value=0, max_value=10**6)),
+            )
+        )
+    return ops
+
+
+_BASE = (
+    '<html><head><title>T</title><meta name="a" content="b"></head><body>'
+    '<div id="a" class="x y"><p>one <b>deep</b></p><p>two</p><ul><li>i1</li>'
+    '<li>i2</li></ul></div><table><tr><td>c</td></tr></table>'
+    '<div style="color:red" width="5">text<br><span data-k="v">s</span></div>'
+    "</body></html>"
+)
+
+
+@given(_mutation_script())
+@settings(max_examples=60, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_random_mutation_sequences_replay_exactly(script):
+    from swift_readability_spark.core import dom as D
+    from swift_readability_spark.core.dom import Element, parse_html
+    from swift_readability_spark.core.helpers import set_node_tag
+
+    doc = parse_html(_BASE, "http://fakehost/x")
+    body = doc.body
+    before = doc.outer_html
+
+    def elements():
+        return [n for n in body.iter_subtree() if n.IS_ELEMENT]
+
+    journal = D.journal_start()
+    try:
+        for op, i, j in script:
+            els = elements()
+            if not els:
+                break
+            el = els[i % len(els)]
+            if op == "remove":
+                el.remove()
+            elif op == "move":
+                tgt = els[j % len(els)]
+                if tgt is not el and not _is_ancestor(el, tgt):
+                    tgt.append_child(el)
+            elif op == "retag":
+                set_node_tag(el, ["p", "div", "span", "section"][j % 4])
+            elif op == "set_attr":
+                el.set_attr(["class", "id", "style", "zz"][j % 4], f"v{j}")
+            elif op == "del_attr":
+                if el.attrs:
+                    el.remove_attr(list(el.attrs)[j % len(el.attrs)])
+            elif op == "insert_fresh":
+                el.append_child(Element("em"))
+            elif op == "score":
+                if el.tag != "body":
+                    journal.append((5, el))
+                    el.readability = float(j)
+            elif op == "mark_table":
+                journal.append((6, el))
+                el._data_table = bool(j % 2)
+    finally:
+        D.journal_stop()
+    D.journal_replay(journal, doc)
+    assert doc.outer_html == before
+    for n in body.iter_subtree():
+        if n.IS_ELEMENT:
+            assert n.readability is None
+            assert n._data_table is None
+
+
+def _is_ancestor(a, b) -> bool:
+    cur = b.parent
+    while cur is not None:
+        if cur is a:
+            return True
+        cur = cur.parent
+    return False
