@@ -49,11 +49,21 @@ def _count_docs(spark, sf_dir: str) -> int:
 
 # the scaling comparison needs enough work that fixed per-job overhead
 # (session, scan, shuffle setup) is amortized — replicate the corpus to
-# at least this many documents for the timed extraction runs
+# at least this many documents for the timed extraction runs.
+# MIN_SCALING_DOCS sizes the local[CPUS] run (and the extract_metadata
+# headline, kept at 64k for cross-round comparability);
+# SCALING_PAIR_DOCS sizes the lo/hi efficiency pair — weak-scaling
+# hygiene: after the round-3 core speedup a 64k run at local[16]
+# finishes in ~3 s, where constant stage/commit costs are no longer
+# <5% and the measured ratio reads as overhead, not executor scaling
+# (measured 0.797 at 64k vs 0.883 at 128k in the same windows).
 MIN_SCALING_DOCS = int(os.environ.get("SPARK_GRAFT_MIN_SCALING_DOCS", "64000"))
+SCALING_PAIR_DOCS = int(os.environ.get("SPARK_GRAFT_SCALING_PAIR_DOCS", "128000"))
 
 
-def _run_extraction(cores: int, sf_dir: str) -> tuple[float, int]:
+def _run_extraction(
+    cores: int, sf_dir: str, min_docs: int | None = None, timed_reps: int = 2
+) -> tuple[float, int]:
     """Fresh session at the given parallelism; returns (sec, n_docs)."""
     from pyspark.sql import functions as F
 
@@ -69,7 +79,7 @@ def _run_extraction(cores: int, sf_dir: str) -> tuple[float, int]:
     try:
         docs = interleaved_documents(spark, sf_dir, partitions=cores)
         base_n = docs.count()
-        replicate = max(1, -(-MIN_SCALING_DOCS // base_n))
+        replicate = max(1, -(-(min_docs or MIN_SCALING_DOCS) // base_n))
         if replicate > 1:
             docs = docs.crossJoin(
                 spark.range(replicate).select(F.col("id").alias("_rep"))
@@ -88,7 +98,7 @@ def _run_extraction(cores: int, sf_dir: str) -> tuple[float, int]:
         # shared-host noise
         sink.write.mode("overwrite").format("noop").save()
         wall = None
-        for _rep in range(2):
+        for _rep in range(timed_reps):
             t0 = time.perf_counter()
             sink.write.mode("overwrite").format("noop").save()
             w = time.perf_counter() - t0
@@ -138,17 +148,26 @@ def main() -> None:
     # the per-level estimator: on a shared host contention only slows
     # a run down, so the max approximates the uncontended rate — and
     # it is applied identically to both levels.
-    samples_per_level = int(os.environ.get("SPARK_GRAFT_SCALING_SAMPLES", "3"))
+    samples_per_level = int(os.environ.get("SPARK_GRAFT_SCALING_SAMPLES", "2"))
     schedule = [lo_level, hi_level] * samples_per_level + [CPUS]
     throughput: dict[int, float] = {}
     n_docs = 0
     for cores in schedule:
-        wall, n_docs = _run_extraction(cores, SF_DIR)
-        thr = n_docs / wall
+        if cores == CPUS:
+            # headline run: 64k docs, best-of-2 (cross-round comparable)
+            wall, n_docs = _run_extraction(cores, SF_DIR)
+            timings["extract_metadata"] = round(wall, 3)
+            thr = n_docs / wall
+        else:
+            # efficiency pair: larger workload (SCALING_PAIR_DOCS note
+            # above), SYMMETRIC best-of-2 per session x interleaved
+            # sessions per level; max damps shared-host contention
+            wall, n = _run_extraction(
+                cores, SF_DIR, min_docs=SCALING_PAIR_DOCS, timed_reps=2
+            )
+            thr = n / wall
         if thr > throughput.get(cores, 0.0):
             throughput[cores] = thr
-        if cores == CPUS:
-            timings["extract_metadata"] = round(wall, 3)
 
     efficiency = (throughput[hi_level] / throughput[lo_level]) / (
         hi_level / lo_level
@@ -164,6 +183,7 @@ def main() -> None:
         "n_docs": n_docs,
         "scaling_pair": f"local[{lo_level}] -> local[{hi_level}]",
         "scaling_samples_per_level": samples_per_level,
+        "scaling_pair_docs": SCALING_PAIR_DOCS,
         # raw = what was measured (can exceed 1.0 through shared-host
         # noise or superlinear cache effects); the clamped headline is
         # reported alongside, never instead
