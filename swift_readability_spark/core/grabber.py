@@ -288,12 +288,20 @@ class Grabber:
         should_remove_title_header = True
 
         # ---- phase 1: prepareNodes walk -------------------------------
+        # match_string (class + " " + id) is needed by the byline
+        # probe and the strip-unlikelys gate only — build it lazily so
+        # attempts where both are inactive (byline already known +
+        # strip flag relaxed) skip two dict gets and a concat per node
+        byline_inactive = bool(self.metadata.get("byline"))
         while node is not None:
             if node.tag == "html":
                 self.article_lang = node.get_attr("lang")
 
             _attrs = node.attrs
-            match_string = _attrs.get("class", "") + " " + _attrs.get("id", "")
+            if strip_unlikely or not (byline_inactive or self.article_byline is not None):
+                match_string = _attrs.get("class", "") + " " + _attrs.get("id", "")
+            else:
+                match_string = None
 
             if not is_probably_visible(node):
                 node = remove_and_get_next(node)
