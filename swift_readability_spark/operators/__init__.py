@@ -8,9 +8,9 @@ broadcasts for small dimensions, window top-k, no Python UDFs except
 the clearly-marked Arrow-batch stages.
 """
 
-from . import dedup, extraction, multimodal, relational, similarity, text
+from . import curation, dedup, extraction, multimodal, relational, similarity, text
 
-ALL_MODULES = (relational, text, dedup, similarity, multimodal, extraction)
+ALL_MODULES = (relational, text, dedup, similarity, curation, multimodal, extraction)
 
 
 def registry():

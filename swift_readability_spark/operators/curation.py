@@ -1,0 +1,363 @@
+"""Corpus-curation operators a 100-TB training-data pipeline needs
+beyond per-document extraction: chunk-level boilerplate dedup
+(CCNet-style), token-budget sequence packing, deterministic mixture
+sampling, a per-language corpus report, and a k-NN join.
+
+Every operator is a pure DataFrame plan (whole-stage codegen built-ins,
+no Python UDFs) with a DuckDB value oracle.  Cross-engine determinism
+rules reused from the sibling modules:
+
+- portable 32-bit hash = first 8 hex chars of md5 (``_spark_hash`` /
+  ``_duck_hash`` in dedup.py) — never engine ``hash()``,
+- portable rounding = floor(x*10^k + 0.5)/10^k (text.py::_r) — never
+  engine ``round()`` on doubles,
+- any per-key ordering ties broken by an explicit unique column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .common import read
+from .dedup import _duck_hash, _spark_hash
+from .text import _r
+
+# ---------------------------------------------------------------------------
+# shared word / chunk expressions (identical tokenization on both engines,
+# same normalization as text.py's token ops)
+# ---------------------------------------------------------------------------
+_SPARK_WORDS = (
+    "filter(split(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ')), ' +'),"
+    " x -> x <> '')"
+)
+_DUCK_WORDS = (
+    "list_filter(string_split_regex(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g')),"
+    " ' +'), x -> x <> '')"
+)
+
+CHUNK_WORDS = 10  # pseudo-paragraph size: the corpus text has no real
+# line structure (TESTDATA.md word-soup), so the "line" unit of
+# CCNet-style dedup is a fixed 10-word chunk — same shape, same plan.
+
+# Spark: chunks = [join(words[i*10+1 : +10]) for i in 0..ceil(n/10)-1]
+_SPARK_CHUNKS = (
+    f"transform(sequence(0, CAST(greatest(ceil(size(words) / {CHUNK_WORDS}.0), 1) AS INT) - 1),"
+    f" i -> concat_ws(' ', slice(words, i * {CHUNK_WORDS} + 1, {CHUNK_WORDS})))"
+)
+_DUCK_CHUNKS = (
+    f"[array_to_string(words[(i * {CHUNK_WORDS} + 1):(i * {CHUNK_WORDS} + {CHUNK_WORDS})], ' ')"
+    f" FOR i IN range(0, CAST(greatest(ceil(len(words) / {CHUNK_WORDS}.0), 1) AS BIGINT))]"
+)
+
+
+def paragraph_dedup(spark, sf_dir):
+    """CCNet-style chunk-level dedup: drop every occurrence of a
+    normalized 10-word chunk that appears more than once corpus-wide
+    (boilerplate / licence headers / navigation text), then reassemble
+    each document from its surviving chunks in order.
+
+    Scale shape: explode -> hash-groupBy count (map-side partial agg)
+    -> the over-threshold chunk set is tiny relative to the corpus, so
+    it broadcasts and the removal join is a map-side anti-join — the
+    only full shuffle is the final per-doc reassembly.  At 100 TB the
+    chunk key should be md5(chunk) rather than the string (same plan,
+    smaller shuffle rows).
+    """
+    d = read(spark, sf_dir, "documents")
+    chunks = d.selectExpr("doc_id", f"{_SPARK_WORDS} AS words").selectExpr(
+        "doc_id", f"{_SPARK_CHUNKS} AS chunks"
+    )
+    exploded = chunks.select(
+        "doc_id", F.posexplode("chunks").alias("chunk_idx", "chunk")
+    )
+    dup_chunks = (
+        exploded.groupBy("chunk")
+        .count()
+        .filter(F.col("count") > 1)
+        .select("chunk")
+    )
+    kept = (
+        exploded.join(F.broadcast(dup_chunks), "chunk", "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.array_join(
+                F.expr("transform(array_sort(collect_list(struct(chunk_idx, chunk))), s -> s.chunk)"),
+                " ",
+            ).alias("dedup_text"),
+        )
+    )
+    return (
+        chunks.select("doc_id", F.size("chunks").cast("bigint").alias("n_chunks"))
+        .join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chunks",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+            (F.col("n_chunks") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_removed"),
+            F.coalesce(F.col("dedup_text"), F.lit("")).alias("dedup_text"),
+        )
+    )
+
+
+PARAGRAPH_DEDUP_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {_DUCK_WORDS} AS words FROM documents
+),
+c AS (
+  SELECT doc_id, {_DUCK_CHUNKS} AS chunks FROM t
+),
+e AS (
+  SELECT doc_id, pos - 1 AS chunk_idx, chunks[pos] AS chunk
+  FROM c, LATERAL (SELECT unnest(generate_series(1, len(chunks))) AS pos) u
+),
+dup AS (
+  SELECT chunk FROM e GROUP BY chunk HAVING count(*) > 1
+),
+k AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(chunk, ' ' ORDER BY chunk_idx) AS dedup_text
+  FROM e ANTI JOIN dup USING (chunk)
+  GROUP BY doc_id
+)
+SELECT c.doc_id,
+       CAST(len(c.chunks) AS BIGINT) AS n_chunks,
+       CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(len(c.chunks) - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed,
+       coalesce(k.dedup_text, '') AS dedup_text
+FROM c LEFT JOIN k ON c.doc_id = k.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# token-budget sequence packing
+# ---------------------------------------------------------------------------
+PACK_BUDGET = 256  # tokens per packed training sequence
+PACK_BUCKETS = 8  # parallel packing streams
+
+_TOKENS_SPARK = "size(split(trim(text), '\\\\s+'))"
+_TOKENS_DUCK = "len(string_split_regex(trim(text), '\\s+'))"
+
+
+def pack_sequences(spark, sf_dir):
+    """Greedy sequence packing for LLM training: assign documents to
+    fixed token-budget sequences by cumulative token count.
+
+    A single global ordering would serialize the packing, so documents
+    are first routed to ``PACK_BUCKETS`` independent streams by a
+    stable hash and packed within each stream — the windows then
+    parallelize per bucket (one shuffle, no global sort).  seq_id is a
+    pure function of (bucket, doc_id order), so re-runs and resumes
+    agree.  Documents larger than the budget get a sequence of their
+    own (floor((cumsum - tok)/budget) places them where they start).
+    """
+    d = read(spark, sf_dir, "documents")
+    base = d.selectExpr(
+        "doc_id",
+        f"pmod({_spark_hash(f'CAST(doc_id AS STRING)')}, {PACK_BUCKETS}) AS bucket",
+        f"CAST({_TOKENS_SPARK} AS BIGINT) AS n_tokens",
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return base.select(
+        "doc_id",
+        F.col("bucket").cast("bigint").alias("bucket"),
+        "n_tokens",
+        F.floor((cum - F.col("n_tokens")) / PACK_BUDGET)
+        .cast("bigint")
+        .alias("seq_id"),
+    )
+
+
+PACK_SEQUENCES_SQL = f"""
+WITH b AS (
+  SELECT doc_id,
+         {_duck_hash('CAST(doc_id AS VARCHAR)')} % {PACK_BUCKETS} AS bucket,
+         CAST({_TOKENS_DUCK} AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT doc_id,
+       CAST(bucket AS BIGINT) AS bucket,
+       n_tokens,
+       CAST(floor((sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                                       ROWS UNBOUNDED PRECEDING) - n_tokens)
+                  / {PACK_BUDGET}) AS BIGINT) AS seq_id
+FROM b
+"""
+
+
+# ---------------------------------------------------------------------------
+# deterministic mixture sampling
+# ---------------------------------------------------------------------------
+# per-language inclusion percentages for the training mixture;
+# sampling is a pure function of doc_id (hash-fraction), so the sample
+# is stable under re-runs and corpus appends — never rand()
+MIXTURE_PCT = {"en": 100, "de": 60, "fr": 60, "es": 30, "zh": 30}
+_MIX_SALT = "mix:"  # decorrelate from dataset_split's buckets
+
+
+def _mix_case() -> str:
+    arms = " ".join(
+        f"WHEN '{lang}' THEN {pct}" for lang, pct in sorted(MIXTURE_PCT.items())
+    )
+    return f"CASE lang {arms} ELSE 0 END"
+
+
+def mixture_sample(spark, sf_dir):
+    """Deterministic per-language downsampling to mixture weights —
+    map-side projection + filter, zero shuffle at any scale."""
+    d = read(spark, sf_dir, "documents")
+    bucket = f"pmod({_spark_hash(repr(_MIX_SALT) + ' || CAST(doc_id AS STRING)')}, 100)"
+    return (
+        d.selectExpr(
+            "doc_id",
+            "lang",
+            f"CAST({bucket} AS BIGINT) AS bucket",
+            f"CAST({_mix_case()} AS BIGINT) AS keep_pct",
+        )
+        .filter(F.col("bucket") < F.col("keep_pct"))
+    )
+
+
+MIXTURE_SAMPLE_SQL = f"""
+SELECT doc_id, lang,
+       CAST({_duck_hash(f"{_MIX_SALT!r} || CAST(doc_id AS VARCHAR)")} % 100 AS BIGINT) AS bucket,
+       CAST({_mix_case()} AS BIGINT) AS keep_pct
+FROM documents
+WHERE {_duck_hash(f"{_MIX_SALT!r} || CAST(doc_id AS VARCHAR)")} % 100 < {_mix_case()}
+"""
+
+
+# ---------------------------------------------------------------------------
+# per-language corpus report
+# ---------------------------------------------------------------------------
+def corpus_report(spark, sf_dir):
+    """The corpus report card: per-language doc counts, token totals,
+    distinct-content counts and corpus share.  One hash-groupBy (map-
+    side partial agg) + a broadcast-sized window over the language
+    rows — scales as a pure aggregation."""
+    d = read(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    per_lang = (
+        d.select(
+            "lang",
+            F.expr(_TOKENS_SPARK).cast("bigint").alias("n_tokens"),
+            F.md5(norm).alias("content_hash"),
+            F.length("text").cast("double").alias("text_len"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.countDistinct("content_hash").alias("n_distinct"),
+            F.avg("text_len").alias("_avg_len"),
+        )
+    )
+    total = Window.partitionBy()
+    return per_lang.select(
+        "lang",
+        "n_docs",
+        "total_tokens",
+        "n_distinct",
+        _r(F.col("_avg_len"), 4).alias("avg_len"),
+        _r(F.col("n_docs") / F.sum("n_docs").over(total), 4).alias("corpus_share"),
+    )
+
+
+CORPUS_REPORT_SQL = f"""
+WITH per AS (
+  SELECT lang,
+         count(*) AS n_docs,
+         sum(CAST({_TOKENS_DUCK} AS BIGINT)) AS total_tokens,
+         count(DISTINCT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))) AS n_distinct,
+         avg(CAST(length(text) AS DOUBLE)) AS _avg_len
+  FROM documents
+  GROUP BY lang
+)
+SELECT lang, n_docs, total_tokens, n_distinct,
+       floor(_avg_len * 10000 + 0.5) / 10000 AS avg_len,
+       floor(n_docs / (sum(n_docs) OVER ()) * 10000 + 0.5) / 10000 AS corpus_share
+FROM per
+"""
+
+
+# ---------------------------------------------------------------------------
+# k-NN join (each query doc -> top-k corpus neighbours)
+# ---------------------------------------------------------------------------
+KNN_QUERIES = 5  # vec_id < 5 are the query set
+KNN_K = 3
+
+from .similarity import _DOT, _NORM  # oracle-green FP-parity expressions
+
+
+def knn_join(spark, sf_dir):
+    """k-NN join: exact cosine top-k corpus neighbours for EVERY vector
+    in a query set (the batched generalization of ann_bruteforce_topk).
+
+    Scale shape: the query side broadcasts (a query batch is always
+    small relative to the corpus), so the corpus is scanned once with
+    no shuffle of the big side; the per-query top-k is a window over
+    q_id.  For query sets too big to broadcast, block both sides with
+    the hyperplane signature (similarity.py) first — same downstream
+    plan."""
+    e = read(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < KNN_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qvec")
+    )
+    cos = F.expr(_DOT.format(a="embedding", b="qvec")) / (
+        F.expr(_NORM.format(v="embedding")) * F.expr(_NORM.format(v="qvec"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine_raw"), F.asc("vec_id"))
+    return (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") >= KNN_QUERIES)
+        .withColumn("cosine_raw", cos)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= KNN_K)
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("rnk").cast("bigint").alias("rnk"),
+            _r(F.col("cosine_raw"), 4).alias("cosine"),
+        )
+    )
+
+
+_D_DOT = (
+    "list_reduce(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i]),"
+    " (x, y) -> x + y)"
+)
+_D_NORM = "sqrt(list_reduce(list_transform({v}, x -> x * x), (x, y) -> x + y))"
+
+KNN_JOIN_SQL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+q AS (SELECT vec_id AS q_id, emb AS qvec FROM e WHERE vec_id < {KNN_QUERIES}),
+scored AS (
+  SELECT q.q_id, e.vec_id,
+         {_D_DOT.format(a='e.emb', b='q.qvec')}
+           / ({_D_NORM.format(v='e.emb')} * {_D_NORM.format(v='q.qvec')}) AS cosine_raw
+  FROM e, q
+  WHERE e.vec_id >= {KNN_QUERIES}
+)
+SELECT q_id, vec_id AS neighbor_id,
+       CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine_raw DESC, vec_id ASC) AS BIGINT) AS rnk,
+       floor(cosine_raw * 10000 + 0.5) / 10000 AS cosine
+FROM scored
+QUALIFY rnk <= {KNN_K}
+"""
+
+
+QUERIES = {
+    "paragraph_dedup": (paragraph_dedup, PARAGRAPH_DEDUP_SQL),
+    "pack_sequences": (pack_sequences, PACK_SEQUENCES_SQL),
+    "mixture_sample": (mixture_sample, MIXTURE_SAMPLE_SQL),
+    "corpus_report": (corpus_report, CORPUS_REPORT_SQL),
+    "knn_join": (knn_join, KNN_JOIN_SQL),
+}

@@ -133,3 +133,43 @@ def test_pii_scan_no_shuffle_no_python(spark, reg):
     plan = _plan(reg["pii_scan"](spark, SF))
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# -- curation module (round 3 additions) ------------------------------------
+
+
+def test_paragraph_dedup_broadcast_anti_join(spark, reg):
+    """The over-threshold chunk set must broadcast: a shuffled removal
+    join would re-shuffle the whole exploded corpus at 100 TB."""
+    plan = _plan(reg["paragraph_dedup"](spark, SF))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pack_sequences_single_shuffle_no_global_sort(spark, reg):
+    """Packing must shuffle once (by bucket) and sort within
+    partitions only — a global ORDER BY would serialize the corpus."""
+    plan = _plan(reg["pack_sequences"](spark, SF))
+    assert plan.count("Exchange") == 1
+    assert "rangepartitioning" not in plan.lower()  # no global sort
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_mixture_sample_is_map_side_only(spark, reg):
+    """Hash-fraction sampling is a projection + filter: zero shuffle
+    at any corpus size."""
+    plan = _plan(reg["mixture_sample"](spark, SF))
+    assert "Exchange" not in plan
+    assert "*(" in plan  # whole-stage codegen
+
+
+def test_corpus_report_partial_agg(spark, reg):
+    plan = _plan(reg["corpus_report"](spark, SF))
+    assert "partial" in plan.lower()  # map-side combine before the shuffle
+
+
+def test_knn_join_broadcasts_query_batch(spark, reg):
+    """The corpus side must never shuffle: query batch broadcasts,
+    per-query top-k runs on the scan output."""
+    plan = _plan(reg["knn_join"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan
