@@ -456,12 +456,12 @@ class Element(Node):
     # -- queries ----------------------------------------------------------
     def iter_subtree(self):
         """Pre-order iteration over all descendant nodes (excluding self)."""
-        stack = list(reversed(self.children))
+        stack = self.children[::-1]
         while stack:
             node = stack.pop()
             yield node
             if node.IS_ELEMENT:
-                stack.extend(reversed(node.children))
+                stack.extend(node.children[::-1])
 
     def get_elements_by_tag(self, *tags: str) -> list["Element"]:
         # NOTE(perf): a memoized per-tag descendant list (same
@@ -472,7 +472,7 @@ class Element(Node):
         # erases the remaining win.  The plain walk stays.
         out = []
         append = out.append
-        stack = list(reversed(self.children))
+        stack = self.children[::-1]
         pop = stack.pop
         extend = stack.extend
         if len(tags) == 1:
@@ -483,7 +483,7 @@ class Element(Node):
                     if node.tag == tag:
                         append(node)
                     if node.children:
-                        extend(reversed(node.children))
+                        extend(node.children[::-1])
             return out
         while stack:
             node = pop()
@@ -491,7 +491,7 @@ class Element(Node):
                 if node.tag in tags:
                     append(node)
                 if node.children:
-                    extend(reversed(node.children))
+                    extend(node.children[::-1])
         return out
 
     @property

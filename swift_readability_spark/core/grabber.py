@@ -655,7 +655,7 @@ class Grabber:
         ps: list[Element] = []
         brs: list[Element] = []
         tables: list[Element] = []
-        stack = list(reversed(article_content.children))
+        stack = article_content.children[::-1]
         pop = stack.pop
         extend = stack.extend
         while stack:
@@ -671,7 +671,7 @@ class Grabber:
                 elif tag == "h1":
                     h1s.append(nd)
                 if nd.children:
-                    extend(reversed(nd.children))
+                    extend(nd.children[::-1])
 
         for h1 in h1s:
             set_node_tag(h1, "h2")
@@ -849,13 +849,13 @@ class Grabber:
         tag by tag in reverse document order, and an element already
         detached by an earlier tag's removal is skipped."""
         by_tag: dict[str, list[Element]] = {t: [] for t in tags}
-        stack = list(reversed(e.children))
+        stack = e.children[::-1]
         while stack:
             n = stack.pop()
             if n.IS_ELEMENT:
                 if n.tag in by_tag:
                     by_tag[n.tag].append(n)
-                stack.extend(reversed(n.children))
+                stack.extend(n.children[::-1])
         for tag in tags:
             is_embed = tag in ("object", "embed", "iframe")
             for element in reversed(by_tag[tag]):
@@ -896,7 +896,7 @@ class Grabber:
         if not self.flag_clean_conditionally:
             return
         by_tag: dict[str, list[Element]] = {t: [] for t in tags}
-        stack = list(reversed(e.children))
+        stack = e.children[::-1]
         while stack:
             n = stack.pop()
             if n.IS_ELEMENT:
@@ -904,7 +904,7 @@ class Grabber:
                 if lst is not None:
                     lst.append(n)
                 if n.children:
-                    stack.extend(reversed(n.children))
+                    stack.extend(n.children[::-1])
         for tag in tags:
             for node in reversed(by_tag[tag]):
                 if node.parent is None or not self._is_attached(node, e):

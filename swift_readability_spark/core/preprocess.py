@@ -147,7 +147,7 @@ def prep_document(doc: Document) -> None:
     styles: list[Element] = []
     fonts: list[Element] = []
     brs: list = []
-    stack = list(reversed(doc.children))
+    stack = doc.children[::-1]
     pop = stack.pop
     extend = stack.extend
     while stack:
@@ -161,7 +161,7 @@ def prep_document(doc: Document) -> None:
             elif tag == "font":
                 fonts.append(n)
             if n.children:
-                extend(reversed(n.children))
+                extend(n.children[::-1])
     for el in styles:
         el.remove()
     body = doc.body

@@ -1,0 +1,111 @@
+"""Semantic invariants of the curation operators (beyond the DuckDB
+value oracles and the plan pins in test_plans.py): conservation laws,
+determinism, and the properties a 100-TB run relies on."""
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def reg():
+    from swift_readability_spark.operators import registry
+
+    return {name: builder for name, (builder, _o) in registry().items()}
+
+
+def test_paragraph_dedup_conserves_chunks(spark, reg):
+    rows = reg["paragraph_dedup"](spark, SF).collect()
+    assert len(rows) == 500  # every document survives (possibly emptied)
+    for r in rows:
+        assert r.n_kept + r.n_removed == r.n_chunks
+        assert (r.n_kept == 0) == (r.dedup_text == "")
+    # non-vacuous on the driver corpus: boilerplate chunks exist
+    assert sum(r.n_removed for r in rows) > 0
+
+
+def test_paragraph_dedup_removes_only_repeated_chunks(spark, reg):
+    """Rebuild the chunk multiset in Python and check the removal rule
+    exactly: a chunk occurrence is dropped iff its normalized text
+    appears >1 time corpus-wide."""
+    import re
+    from collections import Counter
+
+    from swift_readability_spark.operators.curation import CHUNK_WORDS
+
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    chunks_by_doc = {}
+    freq = Counter()
+    for doc_id, text in docs.items():
+        words = [w for w in re.sub(r"[^a-zA-Z0-9 ]", " ", text.lower()).split(" ") if w]
+        chunks = [
+            " ".join(words[i : i + CHUNK_WORDS])
+            for i in range(0, max(len(words), 1), CHUNK_WORDS)
+        ]
+        chunks_by_doc[doc_id] = chunks
+        freq.update(chunks)
+    out = {r.doc_id: r for r in reg["paragraph_dedup"](spark, SF).collect()}
+    for doc_id, chunks in chunks_by_doc.items():
+        kept = [c for c in chunks if freq[c] <= 1]
+        assert out[doc_id].dedup_text == " ".join(kept)
+
+
+def test_pack_sequences_matches_greedy_cumsum(spark, reg):
+    """seq_id must equal the greedy cumulative-token packing within
+    each bucket, ordered by doc_id — the property resumes depend on."""
+    from swift_readability_spark.operators.curation import PACK_BUDGET
+
+    rows = reg["pack_sequences"](spark, SF).collect()
+    assert len(rows) == 500
+    by_bucket = {}
+    for r in sorted(rows, key=lambda r: (r.bucket, r.doc_id)):
+        cum = by_bucket.get(r.bucket, 0)
+        assert r.seq_id == cum // PACK_BUDGET
+        by_bucket[r.bucket] = cum + r.n_tokens
+
+
+def test_mixture_sample_is_exact_hash_fraction(spark, reg):
+    from swift_readability_spark.operators.curation import MIXTURE_PCT
+
+    rows = reg["mixture_sample"](spark, SF).collect()
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    for r in rows:
+        assert r.bucket < r.keep_pct == MIXTURE_PCT[r.lang]
+    # en keeps everything; overall sample is a strict subset
+    langs = spark.read.parquet(f"{SF}/documents.parquet").groupBy("lang").count()
+    n_en = {r.lang: r["count"] for r in langs.collect()}["en"]
+    assert sum(1 for r in rows if r.lang == "en") == n_en
+    assert 0 < len(rows) < n_docs
+
+
+def test_corpus_report_shares_sum_to_one(spark, reg):
+    rows = reg["corpus_report"](spark, SF).collect()
+    assert {r.lang for r in rows} == {"en", "de", "fr", "es", "zh"}
+    assert sum(r.n_docs for r in rows) == 500
+    assert abs(sum(r.corpus_share for r in rows) - 1.0) < 1e-3
+    for r in rows:
+        assert r.n_distinct <= r.n_docs
+        assert r.total_tokens > 0
+
+
+def test_knn_join_topk_shape_and_order(spark, reg):
+    from swift_readability_spark.operators.curation import (
+        KNN_K,
+        KNN_QUERIES,
+    )
+
+    rows = reg["knn_join"](spark, SF).collect()
+    assert len(rows) == KNN_QUERIES * KNN_K
+    by_q = {}
+    for r in rows:
+        assert 0 <= r.q_id < KNN_QUERIES
+        assert r.neighbor_id >= KNN_QUERIES
+        by_q.setdefault(r.q_id, []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in rs] == list(range(1, KNN_K + 1))
+        cosines = [r.cosine for r in rs]
+        assert cosines == sorted(cosines, reverse=True)
