@@ -233,10 +233,15 @@ class Node:
         if p is None:
             return None
         sibs = p.children
-        try:
-            i = self._sib_index()
-        except ValueError:
-            return None
+        # _sib_index inlined (hint verify + fallback): this property and
+        # the element-sibling walks below are the hottest hint users
+        i = self._idx
+        if i is None or not 0 <= i < len(sibs) or sibs[i] is not self:
+            try:
+                i = sibs.index(self)
+            except ValueError:
+                return None
+            self._idx = i
         if i + 1 < len(sibs):
             nxt = sibs[i + 1]
             nxt._idx = i + 1
@@ -428,7 +433,11 @@ class Element(Node):
         if p is None:
             return None
         sibs = p.children
-        i = self._sib_index() + 1
+        i = self._idx
+        if i is None or not 0 <= i < len(sibs) or sibs[i] is not self:
+            i = sibs.index(self)
+            self._idx = i
+        i += 1
         n = len(sibs)
         while i < n:
             c = sibs[i]
@@ -444,7 +453,11 @@ class Element(Node):
         if p is None:
             return None
         sibs = p.children
-        i = self._sib_index() - 1
+        i = self._idx
+        if i is None or not 0 <= i < len(sibs) or sibs[i] is not self:
+            i = sibs.index(self)
+            self._idx = i
+        i -= 1
         while i >= 0:
             c = sibs[i]
             if c.IS_ELEMENT:
@@ -950,14 +963,15 @@ class _TreeBuilder:
                 self.stack[-1]._append_fresh(TextNode(data))
                 return
             self._ensure_body()
-        kids = self.stack[-1].children
+        top = self.stack[-1]
+        kids = top.children
         if kids:
             last = kids[-1]
             if last.IS_TEXT:
                 last.data += data
                 return
         node = TextNode(data)
-        node.parent = self.stack[-1]
+        node.parent = top
         kids.append(node)
 
     def handle_comment(self, data):

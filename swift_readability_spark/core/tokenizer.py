@@ -157,6 +157,7 @@ def tokenize(html: str, builder) -> None:
             else:
                 builder.handle_starttag(tag, pairs)
     handle_endtag = builder.handle_endtag
+    memo_get = _ATTR_MEMO.get  # inline the memo hit path (72% of blobs)
     i = 0
     n = len(html)
     find = html.find
@@ -255,7 +256,10 @@ def tokenize(html: str, builder) -> None:
                     break
                 tag_end = te.end() - 1
                 blob = html[name_end:tag_end]
-            attrs, self_closing = _parse_attrs_cached(blob)
+            hit = memo_get(blob)
+            if hit is None:
+                hit = _parse_attrs_cached(blob)
+            attrs, self_closing = hit
             handle_start(name, attrs, self_closing)
             i = tag_end + 1
             if not self_closing and name in _RAW_CLOSE:
