@@ -24,31 +24,32 @@ from .dedup import _duck_hash, _spark_hash
 from .text import _r
 
 # ---------------------------------------------------------------------------
-# shared word / chunk expressions (identical tokenization on both engines,
-# same normalization as text.py's token ops)
+# shared chunk expressions (identical tokenization on both engines, same
+# normalization as text.py's token ops)
 # ---------------------------------------------------------------------------
-_SPARK_WORDS = (
-    "filter(split(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ')), ' +'),"
-    " x -> x <> '')"
-)
-_DUCK_WORDS = (
-    "list_filter(string_split_regex(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g')),"
-    " ' +'), x -> x <> '')"
-)
-
 CHUNK_WORDS = 10  # pseudo-paragraph size: the corpus text has no real
 # line structure (TESTDATA.md word-soup), so the "line" unit of
 # CCNet-style dedup is a fixed 10-word chunk — same shape, same plan.
 
-# Spark: chunks = [join(words[i*10+1 : +10]) for i in 0..ceil(n/10)-1]
-_SPARK_CHUNKS = (
-    f"transform(sequence(0, CAST(greatest(ceil(size(words) / {CHUNK_WORDS}.0), 1) AS INT) - 1),"
-    f" i -> concat_ws(' ', slice(words, i * {CHUNK_WORDS} + 1, {CHUNK_WORDS})))"
+# Chunking is ONE regexp_extract_all over the normalized text (each
+# greedy match consumes up to CHUNK_WORDS space-separated words) —
+# single linear codegen pass, no arrays, no lambdas.  The obvious
+# alternative (transform(sequence(...), i -> slice(words, i*10+1, 10)))
+# is an O(n^2) landmine: when the expression lands on an interpreted
+# eval path (explode pushes the implicit size()>0 filter through it),
+# Slice.eval converts the WHOLE words array per chunk — a 50k-word
+# mega-doc took minutes; the regex form takes milliseconds.
+_CHUNK_RE = f"[^ ]+( [^ ]+){{0,{CHUNK_WORDS - 1}}}"
+_SPARK_NORM = (
+    "trim(regexp_replace(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ')),"
+    " ' +', ' '))"
 )
-_DUCK_CHUNKS = (
-    f"[array_to_string(words[(i * {CHUNK_WORDS} + 1):(i * {CHUNK_WORDS} + {CHUNK_WORDS})], ' ')"
-    f" FOR i IN range(0, CAST(greatest(ceil(len(words) / {CHUNK_WORDS}.0), 1) AS BIGINT))]"
+_DUCK_NORM = (
+    "trim(regexp_replace(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g')),"
+    " ' +', ' ', 'g'))"
 )
+_SPARK_CHUNKS = f"regexp_extract_all({_SPARK_NORM}, '{_CHUNK_RE}', 0)"
+_DUCK_CHUNKS = f"regexp_extract_all({_DUCK_NORM}, '{_CHUNK_RE}', 0)"
 
 
 def paragraph_dedup(spark, sf_dir):
@@ -65,9 +66,7 @@ def paragraph_dedup(spark, sf_dir):
     smaller shuffle rows).
     """
     d = read(spark, sf_dir, "documents")
-    chunks = d.selectExpr("doc_id", f"{_SPARK_WORDS} AS words").selectExpr(
-        "doc_id", f"{_SPARK_CHUNKS} AS chunks"
-    )
+    chunks = d.selectExpr("doc_id", f"{_SPARK_CHUNKS} AS chunks")
     exploded = chunks.select(
         "doc_id", F.posexplode("chunks").alias("chunk_idx", "chunk")
     )
@@ -104,11 +103,8 @@ def paragraph_dedup(spark, sf_dir):
 
 
 PARAGRAPH_DEDUP_SQL = f"""
-WITH t AS (
-  SELECT doc_id, {_DUCK_WORDS} AS words FROM documents
-),
-c AS (
-  SELECT doc_id, {_DUCK_CHUNKS} AS chunks FROM t
+WITH c AS (
+  SELECT doc_id, {_DUCK_CHUNKS} AS chunks FROM documents
 ),
 e AS (
   SELECT doc_id, pos - 1 AS chunk_idx, chunks[pos] AS chunk

@@ -237,17 +237,30 @@ FROM m
 """
 
 
+# The rolling window runs over the first FINGERPRINT_CAP chars only —
+# an EXPLICIT cap, not a silent one.  Two reasons: (a) a fingerprint
+# prefix is standard winnowing practice (the head of a document is its
+# most stable region), and (b) substring(norm, i, 16) inside a lambda
+# is O(i) per call on UTF8 strings (byte-scan to find the char
+# offset), so an uncapped window is O(len^2) — a multi-MB document
+# would take hours in one task.  Capped, the worst case is
+# FINGERPRINT_CAP^2 byte scans (~64M, sub-second) regardless of
+# document size.
+FINGERPRINT_CAP = 8192
+
+
 def doc_fingerprint(spark, sf_dir):
-    """Rolling-hash document fingerprint: minimum md5 over the
-    document's 16-char sliding windows (winnowing-style), plus a whole-
-    document content hash."""
+    """Rolling-hash document fingerprint: minimum md5 over the 16-char
+    sliding windows of the first FINGERPRINT_CAP normalized chars
+    (winnowing-style), plus a whole-document content hash."""
     d = read(spark, sf_dir, "documents")
     norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
     return (
         d.withColumn("norm", norm)
+        .withColumn("head", F.expr(f"substring(norm, 1, {FINGERPRINT_CAP})"))
         .withColumn("min_gram_hash", F.array_min(F.expr(
-            "transform(transform(sequence(1, greatest(length(norm) - 15, 1)),"
-            " i -> substring(norm, i, 16)), g -> md5(g))"
+            "transform(transform(sequence(1, greatest(length(head) - 15, 1)),"
+            " i -> substring(head, i, 16)), g -> md5(g))"
         )))
         .select(
             "doc_id",
@@ -257,16 +270,19 @@ def doc_fingerprint(spark, sf_dir):
     )
 
 
-FINGERPRINT_SQL = """
+FINGERPRINT_SQL = f"""
 WITH n AS (
   SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
   FROM documents
+),
+h AS (
+  SELECT doc_id, norm, substr(norm, 1, {FINGERPRINT_CAP}) AS head FROM n
 )
 SELECT doc_id,
        md5(norm) AS content_md5,
-       list_min([md5(substr(norm, i, 16)) FOR i IN range(1, greatest(length(norm) - 15, 1) + 1)])
+       list_min([md5(substr(head, i, 16)) FOR i IN range(1, greatest(length(head) - 15, 1) + 1)])
          AS fingerprint
-FROM n
+FROM h
 """
 
 

@@ -43,7 +43,7 @@ def test_paragraph_dedup_removes_only_repeated_chunks(spark, reg):
         words = [w for w in re.sub(r"[^a-zA-Z0-9 ]", " ", text.lower()).split(" ") if w]
         chunks = [
             " ".join(words[i : i + CHUNK_WORDS])
-            for i in range(0, max(len(words), 1), CHUNK_WORDS)
+            for i in range(0, len(words), CHUNK_WORDS)
         ]
         chunks_by_doc[doc_id] = chunks
         freq.update(chunks)
