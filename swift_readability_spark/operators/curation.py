@@ -350,8 +350,49 @@ QUALIFY rnk <= {KNN_K}
 """
 
 
+def chunk_dedup_stats(spark, sf_dir):
+    """The audit for paragraph_dedup ("no silent caps" rule): how much
+    text the >1-occurrence rule removes.  One explode + chunk groupBy
+    (map-side partial) + a single-row rollup."""
+    d = read(spark, sf_dir, "documents")
+    chunks = d.selectExpr("doc_id", f"{_SPARK_CHUNKS} AS chunks")
+    exploded = chunks.select(F.explode("chunks").alias("chunk"))
+    per_chunk = exploded.groupBy("chunk").agg(F.count("*").alias("freq"))
+    return per_chunk.select(
+        F.sum("freq").cast("bigint").alias("n_occurrences"),
+        F.count("*").cast("bigint").alias("n_distinct"),
+        F.sum(F.when(F.col("freq") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dup_chunks"),
+        F.sum(F.when(F.col("freq") > 1, F.col("freq")).otherwise(0))
+        .cast("bigint")
+        .alias("n_removed_occurrences"),
+        F.max("freq").cast("bigint").alias("max_freq"),
+    )
+
+
+CHUNK_DEDUP_STATS_SQL = f"""
+WITH c AS (
+  SELECT doc_id, {_DUCK_CHUNKS} AS chunks FROM documents
+),
+e AS (
+  SELECT unnest(chunks) AS chunk FROM c
+),
+f AS (
+  SELECT chunk, count(*) AS freq FROM e GROUP BY chunk
+)
+SELECT CAST(sum(freq) AS BIGINT) AS n_occurrences,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       CAST(sum(CASE WHEN freq > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+       CAST(sum(CASE WHEN freq > 1 THEN freq ELSE 0 END) AS BIGINT) AS n_removed_occurrences,
+       CAST(max(freq) AS BIGINT) AS max_freq
+FROM f
+"""
+
+
 QUERIES = {
     "paragraph_dedup": (paragraph_dedup, PARAGRAPH_DEDUP_SQL),
+    "chunk_dedup_stats": (chunk_dedup_stats, CHUNK_DEDUP_STATS_SQL),
     "pack_sequences": (pack_sequences, PACK_SEQUENCES_SQL),
     "mixture_sample": (mixture_sample, MIXTURE_SAMPLE_SQL),
     "corpus_report": (corpus_report, CORPUS_REPORT_SQL),

@@ -109,3 +109,13 @@ def test_knn_join_topk_shape_and_order(spark, reg):
         assert [r.rnk for r in rs] == list(range(1, KNN_K + 1))
         cosines = [r.cosine for r in rs]
         assert cosines == sorted(cosines, reverse=True)
+
+
+def test_chunk_dedup_stats_agrees_with_paragraph_dedup(spark, reg):
+    """The audit's removed-occurrence count must equal what
+    paragraph_dedup actually removed."""
+    stats = reg["chunk_dedup_stats"](spark, SF).collect()[0]
+    removed = sum(r.n_removed for r in reg["paragraph_dedup"](spark, SF).collect())
+    assert stats.n_removed_occurrences == removed
+    assert stats.n_dup_chunks <= stats.n_distinct <= stats.n_occurrences
+    assert stats.max_freq > 1  # non-vacuous on the driver corpus
