@@ -31,12 +31,35 @@ _DUCK_WORDS = (
     "list_filter(string_split_regex(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g')),"
     " ' +'), x -> x <> '')"
 )
+
+# Spark-side shingles/grams are COLLAPSE-PROOF: a lookahead regex over
+# the normalized text (words joined by single spaces), not a lambda
+# over a words array.  Catalyst's predicate/generate pushdown and
+# CollapseProject freely inline a computed `words` column into lambda
+# bodies, where every element evaluation re-runs the tokenization —
+# O(n^2) per document (the mega-doc skew soak hung mllib_minhash_pairs
+# and decontaminate for minutes; dedup_clusters inlined 260 copies).
+# The regex form has no lambda, so inlining just duplicates a linear
+# scan.  `norm` == concat_ws(' ', words) by construction.
+_SPARK_NORM = (
+    "trim(regexp_replace(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ')),"
+    " ' +', ' '))"
+)
+
+
+def _ngram_lookahead_re(n: int) -> str:
+    """At each word start with >= n words remaining, capture the n-word
+    gram in group 1 (zero-width lookahead -> overlapping windows)."""
+    return "(?=(" + "[^ ]+ " * (n - 1) + "[^ ]+))[^ ]+"
+
+
+# n>=3 words -> overlapping 3-grams; 1-2 words -> the whole text as one
+# shingle; empty -> one empty shingle (same contract as the old
+# words-array form, pinned by the oracles).
 _SPARK_SHINGLES = (
-    f"CASE WHEN size(words) >= 3 THEN"
-    f" transform(sequence(1, size(words) - 2),"
-    f" i -> concat_ws(' ', element_at(words, i), element_at(words, i + 1),"
-    f" element_at(words, i + 2)))"
-    f" ELSE array(concat_ws(' ', words)) END"
+    f"CASE WHEN norm RLIKE '^[^ ]+ [^ ]+ ' THEN"
+    f" regexp_extract_all(norm, '{_ngram_lookahead_re(3)}', 1)"
+    f" ELSE array(norm) END"
 )
 _DUCK_SHINGLES = (
     "CASE WHEN len(words) >= 3 THEN"
@@ -93,7 +116,7 @@ def minhash_signatures(spark, sf_dir):
     portable 32-bit shingle hash) over 3-word shingles."""
     d = read(spark, sf_dir, "documents")
     out = (
-        d.selectExpr("doc_id", f"{_SPARK_WORDS} AS words")
+        d.selectExpr("doc_id", f"{_SPARK_NORM} AS norm")
         .selectExpr("doc_id", f"{_SPARK_SHINGLES} AS shingles")
         .selectExpr(
             "doc_id",
@@ -278,7 +301,7 @@ def ngram_jaccard_pairs(spark, sf_dir):
     shuffle exists anywhere."""
     d = read(spark, sf_dir, "documents")
     sets = (
-        d.selectExpr("doc_id", f"{_SPARK_WORDS} AS words")
+        d.selectExpr("doc_id", f"{_SPARK_NORM} AS norm")
         .selectExpr("doc_id", f"array_distinct({_SPARK_SHINGLES}) AS shingles")
     )
     cand = lsh_candidate_pairs(spark, sf_dir)
@@ -614,7 +637,7 @@ def mllib_minhash_pairs(spark, sf_dir):
 
     d = read(spark, sf_dir, "documents")
     shingled = (
-        d.selectExpr("doc_id", f"{_SPARK_WORDS} AS words")
+        d.selectExpr("doc_id", f"{_SPARK_NORM} AS norm")
         .selectExpr("doc_id", f"array_distinct({_SPARK_SHINGLES}) AS shingles")
         .filter("size(filter(shingles, x -> x <> '')) > 0")
     )
@@ -818,13 +841,9 @@ DECON_NGRAM = 8
 
 
 def _gram_expr_spark(n: int) -> str:
-    parts = ", ".join(f"element_at(words, i + {j})" for j in range(n))
-    return (
-        f"CASE WHEN size(words) >= {n} THEN"
-        f" transform(sequence(1, size(words) - {n - 1}),"
-        f" i -> concat_ws(' ', {parts}))"
-        f" ELSE array() END"
-    )
+    # lookahead regex over the norm column (collapse-proof, see
+    # _SPARK_SHINGLES); <n words naturally yields no matches
+    return f"regexp_extract_all(norm, '{_ngram_lookahead_re(n)}', 1)"
 
 
 def _gram_expr_duck(n: int) -> str:
@@ -841,7 +860,7 @@ def decontaminate_against_eval(spark, sf_dir):
     the eval set, and how many distinct grams overlap."""
     d = read(spark, sf_dir, "documents")
     grams = d.selectExpr(
-        "doc_id", f"{_SPARK_WORDS} AS words"
+        "doc_id", f"{_SPARK_NORM} AS norm"
     ).selectExpr(
         "doc_id",
         f"array_distinct({_gram_expr_spark(DECON_NGRAM)}) AS grams",

@@ -490,14 +490,17 @@ def repetition_stats(spark, sf_dir):
     """(doc_id, n_words, dup_word_frac, dup_bigram_frac) — repetition
     quality signals for filter thresholds."""
     d = read(spark, sf_dir, "documents")
-    bigram = (
-        "CASE WHEN size(words) >= 2 THEN"
-        " transform(sequence(1, size(words) - 1),"
-        " i -> concat_ws(' ', element_at(words, i), element_at(words, i + 1)))"
-        " ELSE array() END"
+    # lookahead regex over the normalized text, not a lambda over the
+    # words array: Catalyst can inline a computed column into lambda
+    # bodies (O(n^2) re-tokenization per element — see the dedup.py
+    # collapse-proof note); <2 words naturally yields no matches
+    bigram = "regexp_extract_all(norm, '(?=([^ ]+ [^ ]+))[^ ]+', 1)"
+    norm = (
+        "trim(regexp_replace(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ')),"
+        " ' +', ' '))"
     )
     return (
-        d.selectExpr("doc_id", f"{_R_SPARK_WORDS} AS words")
+        d.selectExpr("doc_id", f"{_R_SPARK_WORDS} AS words", f"{norm} AS norm")
         .selectExpr("doc_id", "words", f"{bigram} AS bigrams")
         .selectExpr(
             "doc_id",
