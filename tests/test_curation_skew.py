@@ -68,3 +68,22 @@ def test_pack_sequences_handles_oversize_doc(spark, skew_dir):
         cum = by_bucket.get(r.bucket, 0)
         assert r.seq_id == cum // PACK_BUDGET
         by_bucket[r.bucket] = cum + r.n_tokens
+
+
+def test_shingle_family_linear_on_mega_docs(spark, skew_dir):
+    """The dedup shingle/gram family must stay linear on mega-docs:
+    before the lookahead-regex rewrite, Catalyst's pushdown inlined the
+    tokenization into per-element lambdas and these queries ran for
+    MINUTES on a corpus like this (O(n^2) per doc).  A generous wall
+    ceiling still fails fast if that class of regression returns."""
+    import time
+
+    from swift_readability_spark.operators import registry
+
+    reg = {name: b for name, (b, _o) in registry().items()}
+    for name in ("minhash_signatures", "decontaminate_against_eval",
+                 "repetition_stats"):
+        t0 = time.perf_counter()
+        df = reg[name](spark, skew_dir)
+        df.write.format("noop").mode("overwrite").save()  # no column pruning
+        assert time.perf_counter() - t0 < 120, f"{name} superlinear on mega-docs"
