@@ -726,3 +726,49 @@ QUERIES["customer_value_correlation"] = (
     customer_value_correlation,
     CUSTOMER_CORR_SQL,
 )
+
+
+# -- at-least-once ingestion dedup (batch twin of the streaming op) ---------
+# the driver corpus has no duplicate deliveries, so redelivery is
+# SIMULATED deterministically: every event_id % 10 == 0 arrives twice
+# (the non-vacuous-oracle rule — planted duplicates, like the planted
+# embedding near-dups)
+def events_dedup_replayed(spark, sf_dir):
+    """Dedup of an at-least-once event feed: union the replayed subset,
+    then one hash-groupBy on event_id (map-side partial; duplicate rows
+    are bit-identical so min() of each column is exact).  Streaming
+    twin: pipeline/streaming.py::run_dedup_stream
+    (dropDuplicatesWithinWatermark), equivalence pinned in
+    tests/test_streaming.py."""
+    e = read(spark, sf_dir, "events")
+    replayed = e.filter(F.col("event_id") % 10 == 0)
+    return (
+        e.unionByName(replayed)
+        .groupBy("event_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_deliveries"),
+            F.min("ts").alias("ts"),
+            F.min("user_id").alias("user_id"),
+            F.min("event_type").alias("event_type"),
+            F.min("value").alias("value"),
+        )
+    )
+
+
+EVENTS_DEDUP_REPLAYED_SQL = """
+WITH u AS (
+  SELECT * FROM events
+  UNION ALL
+  SELECT * FROM events WHERE event_id % 10 = 0
+)
+SELECT event_id,
+       CAST(count(*) AS BIGINT) AS n_deliveries,
+       min(ts) AS ts,
+       min(user_id) AS user_id,
+       min(event_type) AS event_type,
+       min(value) AS value
+FROM u
+GROUP BY event_id
+"""
+
+QUERIES["events_dedup_replayed"] = (events_dedup_replayed, EVENTS_DEDUP_REPLAYED_SQL)

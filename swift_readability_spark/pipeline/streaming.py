@@ -148,3 +148,44 @@ def run_windowed_stream(
     query = writer.start()
     query.awaitTermination()
     return spark.table(query_name)
+
+
+def run_dedup_stream(
+    spark: SparkSession,
+    input_path: str,
+    *,
+    query_name: str = "dedup_events",
+    watermark: str = "90 days",
+):
+    """At-least-once ingestion dedup: ``dropDuplicatesWithinWatermark``
+    on event_id keeps the first delivery of each event and bounds the
+    dedup state by the watermark — the streaming half of the
+    ``events_dedup_replayed`` batch twin (operators/relational.py),
+    which sees the same replayed input and must agree row-for-row on
+    the surviving events.
+
+    State sizing at scale: the store holds one key per event inside
+    the watermark horizon; horizon x ingest rate bounds it, late
+    re-deliveries beyond the horizon are dropped as new-but-duplicate
+    (the standard trade — tighten the watermark to what the delivery
+    layer can actually replay)."""
+    import os
+
+    reader = spark.readStream.schema(EVENTS_SCHEMA).format("parquet")
+    if os.path.isfile(input_path):
+        reader = reader.option("pathGlobFilter", os.path.basename(input_path))
+        input_path = os.path.dirname(input_path) or "."
+    stream = reader.load(input_path)
+
+    deduped = stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    query = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(query_name)

@@ -152,3 +152,33 @@ def test_stream_checkpoint_resume_no_duplicates(spark, corpus_dir, tmp_path_fact
     final = spark.read.parquet(str(out / "ext"))
     assert final.count() == docs.count()  # nothing reprocessed
     assert final.select("doc_id").distinct().count() == docs.count()
+
+
+def test_dedup_stream_matches_batch_twin(spark, tmp_path_factory):
+    """dropDuplicatesWithinWatermark over the replayed feed keeps
+    exactly one delivery per event_id — the surviving rows equal the
+    events_dedup_replayed batch twin (minus its delivery count)."""
+    from swift_readability_spark.operators.relational import (
+        events_dedup_replayed,
+    )
+    from swift_readability_spark.pipeline.streaming import run_dedup_stream
+
+    sf = "/root/testdata/sf0.001"
+    out = tmp_path_factory.mktemp("dedupstream")
+    e = spark.read.parquet(sf + "/events.parquet")
+    replayed = e.unionByName(e.filter(F.col("event_id") % 10 == 0))
+    src = str(out / "src")
+    replayed.repartition(4).write.mode("overwrite").parquet(src)
+
+    streamed = run_dedup_stream(spark, src, query_name="dedup_events_t")
+    batch = events_dedup_replayed(spark, sf)
+
+    assert streamed.count() == batch.count() == e.count()
+    # exact row equivalence on the shared columns
+    cols = ["event_id", "ts", "user_id", "event_type", "value"]
+    s_rows = sorted(map(tuple, streamed.select(*cols).collect()))
+    b_rows = sorted(map(tuple, batch.select(*cols).collect()))
+    assert s_rows == b_rows
+    # the planted redeliveries really were duplicates
+    dup = batch.filter(F.col("n_deliveries") == 2).count()
+    assert dup == e.filter(F.col("event_id") % 10 == 0).count() > 0
