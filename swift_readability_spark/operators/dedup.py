@@ -963,9 +963,16 @@ def dedup_clusters(spark, sf_dir):
             .filter(F.col("old") != F.col("label"))
             .count()
         )
+        # the changed-count just materialized new_labels, so the
+        # previous round's cache is dead weight from here on — without
+        # this, executor storage grows O(rounds x labels) and evicts
+        # hot blocks on a large corpus
+        if labels.is_cached:
+            labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
+    bidir.unpersist()
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
 
 
