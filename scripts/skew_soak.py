@@ -71,20 +71,22 @@ def main() -> None:
     slow, failed = [], []
     for name in names:
         builder, _oracle = reg[name]
-        t0 = time.perf_counter()
         try:
             df = builder(spark, sf_dir)
             # noop sink: forces FULL materialization of every column.
             # A plain count() lets Catalyst prune expensive output
             # expressions — which is exactly how the Slice.eval
-            # quadratic stayed invisible.
+            # quadratic stayed invisible.  Only the noop write is
+            # timed; the row-sanity count runs outside the clock (it
+            # is a second, pruned execution).
+            t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
             n = df.count()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: {str(e)[:160]}", flush=True)
             failed.append(name)
             continue
-        dt = time.perf_counter() - t0
         mark = " <-- SLOW" if dt > SLOW_S else ""
         print(f"{name:36s} {dt:7.2f}s  {n} rows{mark}", flush=True)
         if dt > SLOW_S:

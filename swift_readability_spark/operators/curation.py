@@ -20,7 +20,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from .common import read
-from .dedup import _duck_hash, _spark_hash
+from .dedup import _SPARK_NORM, _duck_hash, _spark_hash
 from .text import _r
 
 # ---------------------------------------------------------------------------
@@ -40,10 +40,8 @@ CHUNK_WORDS = 10  # pseudo-paragraph size: the corpus text has no real
 # Slice.eval converts the WHOLE words array per chunk — a 50k-word
 # mega-doc took minutes; the regex form takes milliseconds.
 _CHUNK_RE = f"[^ ]+( [^ ]+){{0,{CHUNK_WORDS - 1}}}"
-_SPARK_NORM = (
-    "trim(regexp_replace(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ')),"
-    " ' +', ' '))"
-)
+# _SPARK_NORM imported from dedup.py — ONE definition of the word
+# tokenization; chunks here must agree with shingles/words there.
 _DUCK_NORM = (
     "trim(regexp_replace(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g')),"
     " ' +', ' ', 'g'))"
@@ -290,7 +288,12 @@ FROM per
 KNN_QUERIES = 5  # vec_id < 5 are the query set
 KNN_K = 3
 
-from .similarity import _DOT, _NORM  # oracle-green FP-parity expressions
+from .similarity import (  # oracle-green FP-parity expressions
+    _D_DOT,
+    _D_NORM,
+    _DOT,
+    _NORM,
+)
 
 
 def knn_join(spark, sf_dir):
@@ -325,12 +328,6 @@ def knn_join(spark, sf_dir):
         )
     )
 
-
-_D_DOT = (
-    "list_reduce(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i]),"
-    " (x, y) -> x + y)"
-)
-_D_NORM = "sqrt(list_reduce(list_transform({v}, x -> x * x), (x, y) -> x + y))"
 
 KNN_JOIN_SQL = f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),

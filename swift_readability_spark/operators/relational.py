@@ -735,23 +735,27 @@ QUERIES["customer_value_correlation"] = (
 # embedding near-dups)
 def events_dedup_replayed(spark, sf_dir):
     """Dedup of an at-least-once event feed: union the replayed subset,
-    then one hash-groupBy on event_id (map-side partial; duplicate rows
-    are bit-identical so min() of each column is exact).  Streaming
+    then keep ONE real delivery per event_id (arg-min by the full row
+    ordering, one window over the event_id shuffle).  Column-wise min()
+    would be cheaper but can FABRICATE a row when duplicate event_ids
+    ever carry differing payloads (mixing one delivery's ts with
+    another's value); the row_number pick always returns an actual
+    delivered row, matching what the streaming twin keeps.  Streaming
     twin: pipeline/streaming.py::run_dedup_stream
     (dropDuplicatesWithinWatermark), equivalence pinned in
     tests/test_streaming.py."""
     e = read(spark, sf_dir, "events")
     replayed = e.filter(F.col("event_id") % 10 == 0)
+    u = e.unionByName(replayed)
+    w = Window.partitionBy("event_id")
+    pick = Window.partitionBy("event_id").orderBy(
+        "ts", "user_id", "event_type", "value"
+    )
     return (
-        e.unionByName(replayed)
-        .groupBy("event_id")
-        .agg(
-            F.count("*").cast("bigint").alias("n_deliveries"),
-            F.min("ts").alias("ts"),
-            F.min("user_id").alias("user_id"),
-            F.min("event_type").alias("event_type"),
-            F.min("value").alias("value"),
-        )
+        u.withColumn("n_deliveries", F.count("*").over(w).cast("bigint"))
+        .withColumn("rn", F.row_number().over(pick))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "n_deliveries", "ts", "user_id", "event_type", "value")
     )
 
 
@@ -761,14 +765,15 @@ WITH u AS (
   UNION ALL
   SELECT * FROM events WHERE event_id % 10 = 0
 )
-SELECT event_id,
-       CAST(count(*) AS BIGINT) AS n_deliveries,
-       min(ts) AS ts,
-       min(user_id) AS user_id,
-       min(event_type) AS event_type,
-       min(value) AS value
-FROM u
-GROUP BY event_id
+SELECT event_id, n_deliveries, ts, user_id, event_type, value
+FROM (
+  SELECT *,
+         CAST(count(*) OVER (PARTITION BY event_id) AS BIGINT) AS n_deliveries,
+         row_number() OVER (PARTITION BY event_id
+                            ORDER BY ts, user_id, event_type, value) AS rn
+  FROM u
+)
+WHERE rn = 1
 """
 
 QUERIES["events_dedup_replayed"] = (events_dedup_replayed, EVENTS_DEDUP_REPLAYED_SQL)

@@ -494,13 +494,11 @@ def repetition_stats(spark, sf_dir):
     # words array: Catalyst can inline a computed column into lambda
     # bodies (O(n^2) re-tokenization per element — see the dedup.py
     # collapse-proof note); <2 words naturally yields no matches
+    from .dedup import _SPARK_NORM
+
     bigram = "regexp_extract_all(norm, '(?=([^ ]+ [^ ]+))[^ ]+', 1)"
-    norm = (
-        "trim(regexp_replace(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ')),"
-        " ' +', ' '))"
-    )
     return (
-        d.selectExpr("doc_id", f"{_R_SPARK_WORDS} AS words", f"{norm} AS norm")
+        d.selectExpr("doc_id", f"{_R_SPARK_WORDS} AS words", f"{_SPARK_NORM} AS norm")
         .selectExpr("doc_id", "words", f"{bigram} AS bigrams")
         .selectExpr(
             "doc_id",
