@@ -266,6 +266,15 @@ class Grabber:
                         self._set_article_dir()
                         return article
                 _dom.journal_start()
+        except BaseException:
+            # mid-attempt failure: replay the active journal before
+            # propagating, so a caller that catches the exception and
+            # reuses the document never sees a half-mutated tree
+            journal = _dom._journal
+            _dom.journal_stop()
+            if journal is not None:
+                _dom.journal_replay(journal, doc)
+            raise
         finally:
             _dom.journal_stop()
 

@@ -362,10 +362,24 @@ N_SIMHASH_BITS = 32
 SIMHASH_BAND_BITS = 8
 N_SIMHASH_BANDS = N_SIMHASH_BITS // SIMHASH_BAND_BITS  # 4 bands
 SIMHASH_MAX_HAMMING = N_SIMHASH_BANDS - 1  # pigeonhole-exact radius
-# loud-failure bound for a single Hamming band bucket: a bucket this
-# big means the corpus needs exact dedup first (or wider bands) — the
-# job fails with that message instead of OOMing an executor
-SIMHASH_GUARD_MAX = 1_000_000
+
+# loud-failure bound for a single Hamming band bucket, derived from the
+# in-bucket PAIR expansion the bucket would cost (n*(n-1)/2), not raw
+# member count (VERDICT r03: a 100k-member bucket is far under any sane
+# member cap yet already expands 5x10^9 pairs).  A bucket over the
+# budget means the corpus needs exact dedup first (or wider bands) —
+# the job fails with that message instead of OOMing an executor.
+SIMHASH_BUCKET_PAIR_BUDGET = 10_000_000
+
+
+def _members_for_pair_budget(budget: int) -> int:
+    """Largest bucket size whose pair expansion n*(n-1)/2 fits budget."""
+    import math
+
+    return int((1 + math.sqrt(1 + 8 * budget)) / 2)
+
+
+SIMHASH_GUARD_MAX = _members_for_pair_budget(SIMHASH_BUCKET_PAIR_BUDGET)  # ~4472
 
 
 def simhash(spark, sf_dir):
@@ -375,24 +389,39 @@ def simhash(spark, sf_dir):
     Fully array-native: zero explode, zero groupBy — the whole
     fingerprint is computed map-side in one whole-stage-codegen
     projection.  ONE ``aggregate()`` pass walks the hash array once,
-    accumulating all 32 bit counters in an array accumulator (the
-    round-2 shape ran 32 separate ``filter()`` passes, re-walking the
-    array 32×); the finish lambda packs the majority votes into the
-    fingerprint.  vote_b set  <=>  2 * ones_b > total."""
+    accumulating all 32 bit counters PLUS the element count in an
+    array accumulator (slot 33) — the finish lambda only touches the
+    accumulator, never the computed ``hs`` column (the module's
+    no-computed-columns-in-lambdas rule: a ``size(hs)`` there would
+    re-run tokenize+hash up to 32x per doc if Catalyst inlines ``hs``).
+    The round-2 shape ran 32 separate ``filter()`` passes, re-walking
+    the array 32x.  vote_b set  <=>  2 * ones_b > total."""
     d = read(spark, sf_dir, "documents")
     hashed = d.selectExpr(
         "doc_id",
         f"transform({_SPARK_WORDS}, w -> {_spark_hash('w')}) AS hs",
     )
-    vote = (
-        f"aggregate(hs, array_repeat(0L, {N_SIMHASH_BITS}),"
-        f" (acc, h) -> zip_with(acc, sequence(0, {N_SIMHASH_BITS - 1}),"
-        f" (c, b) -> c + (shiftright(h, b) & 1)),"
-        f" acc -> aggregate(zip_with(acc, sequence(0, {N_SIMHASH_BITS - 1}),"
-        f" (c, b) -> IF(2 * c > size(hs), shiftleft(1L, b), 0L)),"
+    return hashed.selectExpr(
+        "doc_id", f"CAST({_vote_pack32('hs')} AS BIGINT) AS simhash"
+    )
+
+
+def _vote_pack32(col: str) -> str:
+    """One-pass majority vote over a 32-bit hash array column: 33-slot
+    accumulator (32 bit counters + element count in slot 33); the
+    finish lambda packs votes into one bigint in [0, 2^32).  Only the
+    named array column ``col`` and the accumulator appear in lambda
+    bodies (no computed-column refs — the inlining landmine)."""
+    n = 32
+    return (
+        f"aggregate({col}, array_repeat(0L, {n + 1}),"
+        f" (acc, h) -> zip_with(acc, sequence(0, {n}),"
+        f" (c, b) -> c + IF(b < {n}, shiftright(h, b) & 1, 1)),"
+        f" acc -> aggregate(zip_with(acc, sequence(0, {n}),"
+        f" (c, b) -> IF(b < {n} AND 2 * c > element_at(acc, {n + 1}),"
+        f" shiftleft(1L, b), 0L)),"
         f" 0L, (s, v) -> s + v))"
     )
-    return hashed.selectExpr("doc_id", f"CAST({vote} AS BIGINT) AS simhash")
 
 
 def _simhash_sql() -> str:
@@ -452,10 +481,11 @@ def simhash_neardup_pairs(spark, sf_dir):
                 F.col("band").cast("string"),
                 F.lit(", value="),
                 F.col("value").cast("string"),
-                F.lit(f") holds > {SIMHASH_GUARD_MAX} docs; a cap would break"
-                      " the pigeonhole recall guarantee — run exact dedup"
-                      " upstream or widen the fingerprint/bands"
-                      " (see simhash_band_stats)"),
+                F.lit(f") holds > {SIMHASH_GUARD_MAX} docs (pair budget"
+                      f" {SIMHASH_BUCKET_PAIR_BUDGET} pairs/bucket); a cap"
+                      " would break the pigeonhole recall guarantee — run"
+                      " exact dedup upstream or widen the fingerprint/bands"
+                      " (simhash_wide_neardup_pairs; see simhash_band_stats)"),
             ),
         ).isNull()
     )
@@ -755,6 +785,320 @@ ORDER BY band
 QUERIES["simhash_band_stats"] = (simhash_band_stats, _simhash_band_stats_sql())
 
 
+# -- log2(n)-scaled fingerprint widths (VERDICT r03 item 3) -----------------
+# A FIXED bucket space is quadratic in corpus size no matter how wide:
+# candidate volume ~ n_bands * n^2 / 2^band_bits.  The scale rule is
+# band_bits ~ log2(n_docs): then 2^band_bits ~ n and candidate volume
+# stays ~ n_bands * n (linear), pinned by
+# tests/test_dedup.py::test_wide_bands_candidate_volume_scales_linearly.
+# The 32-bit/8-bit operators above stay as the oracle-checked
+# small-scale config; the 64-bit fingerprint + 16-bit bands below are
+# the corpus-scale path (2^16 buckets/band covers n ~ 10^5 per the
+# rule; beyond that, exact dedup upstream collapses the mass the
+# fingerprint can't spread).
+SIMHASH_WIDE_BITS = 64
+SIMHASH_WIDE_BAND_BITS = 16
+N_SIMHASH_WIDE_BANDS = SIMHASH_WIDE_BITS // SIMHASH_WIDE_BAND_BITS  # 4
+# pigeonhole radius is bands-1 regardless of band width
+SIMHASH_WIDE_MAX_HAMMING = N_SIMHASH_WIDE_BANDS - 1
+
+
+def recommended_band_bits(n_docs: int) -> int:
+    """Band width keeping expected in-bucket pair volume ~linear:
+    ceil(log2(n)) clamped to [8, 16] (4 bands over a 32..64-bit
+    fingerprint).  Pure sizing helper — callers pick the operator
+    (8-bit = ``simhash_neardup_pairs``, 16-bit = the wide variant)."""
+    import math
+
+    return max(8, min(16, math.ceil(math.log2(max(n_docs, 2)))))
+
+
+def simhash_wide(spark, sf_dir):
+    """64-bit SimHash as two packed 32-bit words (fp_lo = votes over
+    md5 hex chars 1-8 — bit-identical to ``simhash`` —, fp_hi = votes
+    over hex chars 9-16 of the SAME md5).  Two non-negative bigints
+    sidestep the int64 sign bit in both engines; Hamming distance is
+    bit_count(lo^lo') + bit_count(hi^hi')."""
+    d = read(spark, sf_dir, "documents")
+    ms = d.selectExpr(
+        "doc_id", f"transform({_SPARK_WORDS}, w -> md5(w)) AS ms"
+    )
+    hashed = ms.selectExpr(
+        "doc_id",
+        "transform(ms, m -> CAST(conv(substr(m, 1, 8), 16, 10) AS BIGINT)) AS hs_lo",
+        "transform(ms, m -> CAST(conv(substr(m, 9, 8), 16, 10) AS BIGINT)) AS hs_hi",
+    )
+    return hashed.selectExpr(
+        "doc_id",
+        f"CAST({_vote_pack32('hs_lo')} AS BIGINT) AS fp_lo",
+        f"CAST({_vote_pack32('hs_hi')} AS BIGINT) AS fp_hi",
+    )
+
+
+def _simhash_wide_sql() -> str:
+    def terms(col: str) -> str:
+        return " + ".join(
+            f"(CASE WHEN 2 * len(list_filter({col}, h -> (h >> {b}) & 1 = 1))"
+            f" > len({col}) THEN {1 << b} ELSE 0 END)"
+            for b in range(32)
+        )
+
+    return f"""
+WITH w AS (SELECT doc_id, {_DUCK_WORDS} AS words FROM documents),
+m AS (SELECT doc_id, list_transform(words, w -> md5(w)) AS ms FROM w),
+h AS (SELECT doc_id,
+             list_transform(ms, m -> CAST(('0x' || substr(m, 1, 8)) AS BIGINT)) AS hlo,
+             list_transform(ms, m -> CAST(('0x' || substr(m, 9, 8)) AS BIGINT)) AS hhi
+      FROM m)
+SELECT doc_id,
+       CAST({terms('hlo')} AS BIGINT) AS fp_lo,
+       CAST({terms('hhi')} AS BIGINT) AS fp_hi
+FROM h
+"""
+
+
+def _wide_band_value(b: int, band_bits: int, shl, shr) -> str:
+    """Band ``b``'s value (bits [b*band_bits, (b+1)*band_bits) of the
+    64-bit fingerprint) from the (fp_lo, fp_hi) packed words — at most
+    TWO fingerprint-column references (shift+mask, straddle-aware), so
+    even a worst-case Catalyst inline of the vote aggregate duplicates
+    a linear pass a bounded number of times, never per-bit.  ``shl`` /
+    ``shr`` are callables rendering the engine's shift syntax."""
+    start, end = b * band_bits, (b + 1) * band_bits
+    mask = (1 << band_bits) - 1
+    if end <= 32:
+        return f"({shr('fp_lo', start)} & {mask})"
+    if start >= 32:
+        return f"({shr('fp_hi', start - 32)} & {mask})"
+    n_lo = 32 - start  # straddling band: low bits from fp_lo, rest fp_hi
+    return (
+        f"(({shr('fp_lo', start)} & {(1 << n_lo) - 1})"
+        f" + {shl(f'(fp_hi & {(1 << (band_bits - n_lo)) - 1})', n_lo)})"
+    )
+
+
+def _wide_band_value_spark(b: int, band_bits: int) -> str:
+    return _wide_band_value(
+        b,
+        band_bits,
+        lambda e, k: f"shiftleft({e}, {k})",
+        lambda e, k: f"shiftright({e}, {k})",
+    )
+
+
+def simhash_wide_neardup_pairs(spark, sf_dir, band_bits: int = SIMHASH_WIDE_BAND_BITS):
+    """The corpus-scale Hamming-band join: 64-bit fingerprint, 4 bands
+    of ``band_bits`` (default 16) bits — 2^16 buckets per band instead
+    of 2^8, so candidate volume on a diverse corpus is n^2/65536 per
+    band and the log2(n) sizing rule (``recommended_band_bits``) keeps
+    it ~linear up to n ~ 10^5 per width step.  Pigeonhole recall is
+    still EXACT for Hamming distance <= 3 (any such pair agrees on one
+    of the 4 disjoint bands).  Same single-shuffle + window-count +
+    pair-budget ``assert_true`` guard shape as the 8-bit operator."""
+    wide = simhash_wide(spark, sf_dir)
+    bands = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.expr(_wide_band_value_spark(b, band_bits)).alias("value"),
+        )
+        for b in range(N_SIMHASH_WIDE_BANDS)
+    ]
+    banded = wide.select(
+        "doc_id", "fp_lo", "fp_hi", F.explode(F.array(*bands)).alias("bb")
+    ).select("doc_id", "fp_lo", "fp_hi", "bb.band", "bb.value")
+    sized = banded.withColumn(
+        "n", F.count("*").over(Window.partitionBy("band", "value"))
+    )
+    guarded = sized.filter(
+        F.assert_true(
+            F.col("n") <= SIMHASH_GUARD_MAX,
+            F.concat(
+                F.lit("simhash wide Hamming band (band="),
+                F.col("band").cast("string"),
+                F.lit(", value="),
+                F.col("value").cast("string"),
+                F.lit(f") holds > {SIMHASH_GUARD_MAX} docs (pair budget"
+                      f" {SIMHASH_BUCKET_PAIR_BUDGET} pairs/bucket) — run"
+                      " exact dedup upstream; the fingerprint cannot spread"
+                      " identical content"),
+            ),
+        ).isNull()
+    )
+    buckets = (
+        guarded.filter(F.col("n") > 1)
+        .groupBy("band", "value")
+        .agg(
+            F.sort_array(
+                F.collect_set(F.struct("doc_id", "fp_lo", "fp_hi"))
+            ).alias("members")
+        )
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(members, (x, i) ->"
+                " transform(slice(members, i + 2, size(members)), y ->"
+                " struct(x.doc_id AS doc_a, y.doc_id AS doc_b,"
+                " x.fp_lo AS lo_a, x.fp_hi AS hi_a,"
+                " y.fp_lo AS lo_b, y.fp_hi AS hi_b))))"
+            )
+        ).alias("p")
+    ).select("p.*").distinct()
+    return (
+        pairs.withColumn(
+            "hamming",
+            F.expr("bit_count(lo_a ^ lo_b) + bit_count(hi_a ^ hi_b)").cast("int"),
+        )
+        .filter(F.col("hamming") <= SIMHASH_WIDE_MAX_HAMMING)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def _simhash_wide_neardup_sql() -> str:
+    # banding is pigeonhole-exact for hamming <= 3, so the oracle is
+    # the direct all-pairs definition over the 64-bit fingerprint
+    ham = (
+        "bit_count(CAST(xor(a.fp_lo, b.fp_lo) AS BIT))"
+        " + bit_count(CAST(xor(a.fp_hi, b.fp_hi) AS BIT))"
+    )
+    return f"""
+WITH s AS ({_simhash_wide_sql()})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST({ham} AS INTEGER) AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE {ham} <= {SIMHASH_WIDE_MAX_HAMMING}
+"""
+
+
+QUERIES["simhash_wide"] = (simhash_wide, _simhash_wide_sql())
+QUERIES["simhash_wide_neardup_pairs"] = (
+    simhash_wide_neardup_pairs,
+    _simhash_wide_neardup_sql(),
+)
+
+
+# hyperplane-signature width follows the same log2(n) rule as the
+# Hamming bands: the 8-bit signature in embedding_neardup_pairs is the
+# oracle-checked small-scale config; this 32-bit signature banded into
+# 2 x 16-bit halves is the corpus-scale path (65536 buckets per band,
+# so in-bucket pair volume is n^2/65536 per band instead of n^2/256),
+# and the banding doubles as multi-probe: two vectors whose signatures
+# differ in <= 1 bit still share a band (pigeonhole over 2 bands).
+EMB_WIDE_SIG_BITS = 32
+EMB_WIDE_BAND_BITS = 16
+N_EMB_WIDE_BANDS = EMB_WIDE_SIG_BITS // EMB_WIDE_BAND_BITS  # 2
+
+
+def embedding_neardup_pairs_wide(spark, sf_dir):
+    """Corpus-scale embedding near-dup: 32-hyperplane signature (the
+    8 fixed planes of ``ann_hyperplane_topk`` + 24 LCG-generated, all
+    literal-embedded in both engines), banded into two 16-bit halves;
+    candidates are pairs sharing either half (covers any single
+    signature-bit flip), exact cosine >= ``NEARDUP_MIN_COSINE`` keeps
+    real near-dups.  Same single-shuffle (band, value) join shape as
+    the Hamming-band operators."""
+    from .similarity import WIDE_HYPERPLANES, _sig_expr_spark
+
+    e = _with_planted(read(spark, sf_dir, "embeddings"))
+    sig = e.withColumn(
+        "sig", F.expr(_sig_expr_spark("embedding", WIDE_HYPERPLANES))
+    )
+    bands = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.expr(
+                f"(shiftright(sig, {b * EMB_WIDE_BAND_BITS})"
+                f" & {(1 << EMB_WIDE_BAND_BITS) - 1})"
+            ).alias("value"),
+        )
+        for b in range(N_EMB_WIDE_BANDS)
+    ]
+    banded = sig.select(
+        "vec_id", "embedding", F.explode(F.array(*bands)).alias("bb")
+    ).select("vec_id", "embedding", "bb.band", "bb.value")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(b, ["band", "value"])
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.embedding").alias("ea"),
+            F.col("b.embedding").alias("eb"),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    dot = (
+        "aggregate(zip_with(ea, eb,"
+        " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"
+    )
+    norm = (
+        "sqrt(aggregate(transform({col}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+        " 0D, (acc, v) -> acc + v))"
+    )
+    return (
+        cand.withColumn(
+            "cosine",
+            F.round(
+                F.expr(dot)
+                / (F.expr(norm.format(col="ea")) * F.expr(norm.format(col="eb"))),
+                4,
+            ),
+        )
+        .filter(F.col("cosine") >= NEARDUP_MIN_COSINE)
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
+def _neardup_wide_sql() -> str:
+    from .similarity import WIDE_HYPERPLANES, _sig_expr_duck
+
+    mask = (1 << EMB_WIDE_BAND_BITS) - 1
+    band_rows = " UNION ALL ".join(
+        f"SELECT vec_id, emb, {b} AS band,"
+        f" (sig >> {b * EMB_WIDE_BAND_BITS}) & {mask} AS value FROM e"
+        for b in range(N_EMB_WIDE_BANDS)
+    )
+    cos = (
+        "round(list_reduce(list_transform(range(1, len(ea.emb) + 1),"
+        " i -> ea.emb[i] * eb.emb[i]), (x, y) -> x + y)"
+        " / (sqrt(list_reduce(list_transform(ea.emb, x -> x * x), (x, y) -> x + y))"
+        " * sqrt(list_reduce(list_transform(eb.emb, x -> x * x), (x, y) -> x + y))), 4)"
+    )
+    return f"""
+WITH base AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+planted AS (
+  SELECT vec_id + {_PLANT_ID_OFFSET} AS vec_id, label,
+         CAST(CAST(list_transform(range(1, len(emb) + 1),
+                i -> CASE WHEN i = 1 THEN emb[i] + {_PLANT_PERTURB} ELSE emb[i] END)
+              AS FLOAT[]) AS DOUBLE[]) AS emb
+  FROM base WHERE vec_id < {N_PLANTED_NEARDUP}
+),
+e AS (
+  SELECT vec_id, emb, {_sig_expr_duck('emb', WIDE_HYPERPLANES)} AS sig
+  FROM (SELECT * FROM base UNION ALL SELECT * FROM planted)
+),
+b AS ({band_rows}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, bb.vec_id AS vec_b
+  FROM b a JOIN b bb ON a.band = bb.band AND a.value = bb.value
+                    AND a.vec_id < bb.vec_id
+)
+SELECT vec_a, vec_b, {cos} AS cosine
+FROM cand
+JOIN e ea ON ea.vec_id = vec_a
+JOIN e eb ON eb.vec_id = vec_b
+WHERE {cos} >= {NEARDUP_MIN_COSINE}
+"""
+
+
+QUERIES["embedding_neardup_pairs_wide"] = (
+    embedding_neardup_pairs_wide,
+    _neardup_wide_sql(),
+)
+
+
 # -- incremental dedup: a new crawl batch vs the committed corpus ----------
 # The production shape at 100 TB: the committed corpus is petabytes,
 # the daily increment is small.  The increment NEVER joins the raw
@@ -923,12 +1267,32 @@ QUERIES["decontaminate_against_eval"] = (
 # O(cluster diameter) ≈ 2-4 rounds, checked by an aggregate-only
 # fixpoint probe (count of changed labels — never a collect of data).
 MAX_CC_ROUNDS = 20
+# labels.localCheckpoint every this many rounds: min-label propagation
+# lineage grows one join+groupBy per round, and past ~10 rounds the
+# re-planned DAG dominates round time on a real cluster; checkpointing
+# materializes the labels and truncates the chain.
+CC_CHECKPOINT_EVERY = 5
 
 
-def dedup_clusters(spark, sf_dir):
-    """(doc_id, cluster_id) for every doc in a verified near-dup pair;
-    cluster_id = min doc_id reachable through the pair graph."""
-    edges = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+class CCNotConverged(RuntimeError):
+    """Raised when min-label propagation hits the round cap with labels
+    still changing — returning the partial labels would silently split
+    one long duplicate chain into several clusters ("no silent caps")."""
+
+
+def connected_components(edges, max_rounds=MAX_CC_ROUNDS):
+    """Min-label-propagation connected components over a (doc_a, doc_b)
+    edge DataFrame -> (doc_id, cluster_id = min reachable doc_id).
+
+    Converges in O(graph diameter) rounds (the min label travels one
+    hop per round).  Near-dup clusters are near-cliques (diameter 2-4),
+    but a chained-near-dup crawl (A~B~C~...) is a path graph whose
+    diameter is the chain length — if ``max_rounds`` is hit with labels
+    still changing, the result is WRONG (one chain split into several
+    clusters), so this raises :class:`CCNotConverged` instead of
+    returning it.  Remedy in the message: raise ``max_rounds`` (rounds
+    are cheap — one join + one groupBy) or pre-collapse exact dups.
+    """
     bidir = edges.union(
         edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     )
@@ -937,43 +1301,67 @@ def dedup_clusters(spark, sf_dir):
         .withColumn("label", F.col("doc_id"))
     )
     # small graph per cluster: cache the edge list once; each round is
-    # one join + one groupBy (at 10^12 docs: checkpoint labels every
-    # few rounds to cut lineage, same plan otherwise)
+    # one join + one groupBy
     bidir = bidir.cache()
-    for _ in range(MAX_CC_ROUNDS):
-        neighbor_min = (
-            bidir.join(labels, bidir.doc_b == labels.doc_id)
-            .groupBy(bidir.doc_a)
-            .agg(F.min("label").alias("nmin"))
-            .withColumnRenamed("doc_a", "doc_id")
-        )
-        new_labels = (
-            labels.join(neighbor_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
-                ).alias("label"),
+    changed = 0
+    try:
+        for rnd in range(1, max_rounds + 1):
+            neighbor_min = (
+                bidir.join(labels, bidir.doc_b == labels.doc_id)
+                .groupBy(bidir.doc_a)
+                .agg(F.min("label").alias("nmin"))
+                .withColumnRenamed("doc_a", "doc_id")
             )
+            new_labels = (
+                labels.join(neighbor_min, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    F.least(
+                        F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                    ).alias("label"),
+                )
+            )
+            if rnd % CC_CHECKPOINT_EVERY == 0:
+                # truncate the join-per-round lineage (eager = also
+                # materialized, so dropping the old cache below is safe)
+                new_labels = new_labels.localCheckpoint(eager=True)
+            else:
+                new_labels = new_labels.cache()
+            changed = (
+                labels.withColumnRenamed("label", "old")
+                .join(new_labels, "doc_id")
+                .filter(F.col("old") != F.col("label"))
+                .count()
+            )
+            # the changed-count just materialized new_labels, so the
+            # previous round's cache is dead weight from here on — without
+            # this, executor storage grows O(rounds x labels) and evicts
+            # hot blocks on a large corpus
+            if labels.is_cached:
+                labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+    finally:
+        bidir.unpersist()
+    if changed != 0:
+        raise CCNotConverged(
+            f"connected_components still had {changed} changing labels after"
+            f" {max_rounds} rounds — the pair graph has a component with"
+            f" diameter > {max_rounds} (chained near-dups); raise max_rounds"
+            " (each round is one join + one groupBy) or run exact dedup"
+            " upstream to collapse the chain"
         )
-        new_labels = new_labels.cache()
-        changed = (
-            labels.withColumnRenamed("label", "old")
-            .join(new_labels, "doc_id")
-            .filter(F.col("old") != F.col("label"))
-            .count()
-        )
-        # the changed-count just materialized new_labels, so the
-        # previous round's cache is dead weight from here on — without
-        # this, executor storage grows O(rounds x labels) and evicts
-        # hot blocks on a large corpus
-        if labels.is_cached:
-            labels.unpersist()
-        labels = new_labels
-        if changed == 0:
-            break
-    bidir.unpersist()
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
+
+
+def dedup_clusters(spark, sf_dir):
+    """(doc_id, cluster_id) for every doc in a verified near-dup pair;
+    cluster_id = min doc_id reachable through the pair graph.  Raises
+    :class:`CCNotConverged` rather than ever returning split clusters
+    from an un-converged propagation."""
+    edges = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    return connected_components(edges)
 
 
 def _clusters_sql() -> str:

@@ -351,9 +351,34 @@ HAMMING_PROBE = 2  # probe buckets within this signature distance
 HYPERPLANES = [[0.7365, -0.0621, 0.8884, 0.7145, -0.4263, 0.4858, 0.4365, 0.6067, -0.7055, 0.6536, -0.0296, -0.3441, 0.5848, -0.2013, -0.8753, -0.7416, -0.6441, 0.8135, 0.6785, 0.2722, 0.9089, 0.1707, -0.1778, -0.711, -0.444, 0.0692, 0.5585, 0.3409, -0.3735, 0.2463, -0.8672, -0.9268, 0.1903, -0.2007, 0.055, -0.1612, 0.1238, -0.2765, -0.9416, -0.5214, 0.0973, 0.1842, 0.3106, -0.828, 0.8538, -0.8227, -0.7249, 0.5953, -0.6949, -0.8764, -0.5709, 0.7055, -0.5384, 0.5204, 0.0343, -0.583, 0.1071, -0.9207, -0.0625, 0.9392, -0.4703, -0.5205, 0.252, -0.7111], [0.37, -0.4085, 0.5064, -0.7508, 0.8085, -0.0018, 0.4597, 0.1812, 0.4294, -0.2736, 0.3493, -0.3196, 0.6504, -0.8396, 0.7577, 0.0501, 0.6398, -0.7731, -0.8745, 0.2875, -0.4029, -0.6932, -0.3498, -0.4242, -0.8997, 0.466, -0.3191, 0.0691, 0.7541, 0.0123, 0.1235, 0.411, 0.7389, -0.4506, -0.7239, 0.2681, 0.0013, 0.9776, -0.8192, 0.6357, -0.3445, 0.7708, -0.5011, 0.0955, 0.7976, -0.5414, -0.2525, 0.7619, -0.2599, 0.9876, 0.3759, -0.4238, -0.3402, -0.0339, 0.5613, -0.6161, 0.8994, -0.1885, -0.861, -0.004, 0.4353, 0.3694, -0.8534, -0.0851], [0.6719, 0.7965, -0.2031, 0.8464, -0.7394, -0.2076, 0.9846, 0.2607, 0.542, -0.995, 0.658, -0.8968, 0.8481, -0.6502, 0.6697, -0.2585, -0.8899, 0.6619, 0.2018, -0.0824, 0.0433, -0.2809, 0.6006, 0.775, -0.0943, 0.3393, 0.1361, 0.3523, -0.9271, -0.7312, 0.3688, -0.1568, 0.3641, 0.5675, -0.3906, -0.3015, -0.2842, 0.3995, -0.2414, -0.3102, -0.2097, 0.0655, 0.497, 0.2147, -0.175, 0.3788, 0.6697, -0.6703, 0.7886, 0.9276, 0.1487, -0.7653, -0.4774, -0.4945, -0.0627, -0.0091, -0.0041, 0.1604, 0.1823, -0.6817, 0.305, 0.5042, -0.0069, -0.3492], [0.697, -0.9418, -0.576, 0.3682, 0.5728, -0.5462, -0.5745, 0.582, -0.1203, -0.4063, -0.9655, 0.3896, 0.6062, 0.7049, 0.4794, -0.2379, 0.5861, -0.3678, -0.8527, -0.652, 0.0925, -0.5546, 0.6803, 0.977, -0.7073, -0.1907, -0.0708, 0.7486, -0.6386, 0.8216, -0.7689, 0.1142, -0.1878, -0.9024, -0.4171, 0.2993, -0.6177, 0.6912, -0.5319, 0.5924, 0.1677, 0.6355, 0.3613, 0.4044, 0.4099, -0.4232, -0.4756, 0.8719, -0.0222, -0.6914, -0.0318, 0.4632, 0.772, 0.6523, 0.7372, 0.6516, 0.7974, -0.8675, 0.2565, -0.1686, -0.2396, -0.0161, -0.2559, 0.1377], [-0.974, 0.2182, -0.0209, -0.6375, -0.5112, 0.0069, -0.9267, -0.1019, -0.0736, -0.7268, -0.2528, -0.76, 0.3039, -0.5349, -0.4627, -0.4427, 0.2219, -0.116, -0.8944, 0.4516, -0.3465, 0.2906, 0.329, -0.6915, -0.0172, 0.9029, 0.8184, 0.4404, 0.2455, -0.5276, -0.9178, 0.3848, 0.9783, -0.775, 0.1399, 0.3226, -0.3738, 0.4983, 0.0188, 0.208, 0.26, 0.9287, 0.6766, 0.0629, -0.1998, -0.8456, -0.2984, 0.577, 0.4299, 0.3745, -0.3692, -0.002, -0.0293, -0.1985, -0.5297, 0.9594, 0.2235, -0.0862, 0.8388, -0.196, -0.4695, 0.7747, -0.3652, 0.6988], [0.2446, 0.9413, -0.2064, 0.3599, -0.4598, 0.08, 0.5828, -0.1664, -0.3897, 0.3244, -0.6105, 0.9716, -0.3483, 0.8225, 0.0818, 0.3011, 0.1746, 0.1867, -0.26, -0.9899, -0.8177, -0.6879, -0.8636, 0.545, -0.9741, 0.3292, 0.8157, -0.5144, -0.1987, -0.4821, -0.2037, -0.7652, 0.8371, 0.6711, -0.1347, 0.1108, -0.5012, -0.7804, 0.0935, -0.9444, -0.1023, 0.7337, 0.6051, 0.0036, 0.779, -0.0915, 0.0721, 0.988, -0.9279, -0.584, 0.5301, 0.5775, 0.6951, 0.2444, -0.6424, 0.7478, 0.3448, 0.6034, -0.175, 0.3195, 0.9871, -0.3366, 0.9211, 0.8195], [-0.278, 0.9312, -0.9536, -0.2126, -0.5415, -0.6414, 0.7903, 0.9639, 0.7282, -0.4499, -0.5408, 0.3188, -0.4658, 0.5905, -0.2472, -0.0326, -0.9026, 0.0272, -0.1213, 0.1966, -0.1424, -0.0158, -0.399, 0.1609, 0.3252, 0.1889, -0.9552, -0.5681, -0.8408, -0.4487, -0.4349, -0.2992, 0.4116, -0.046, -0.4883, 0.2429, 0.6173, 0.0157, -0.9893, -0.6861, -0.9937, 0.4912, -0.1476, -0.5102, -0.53, -0.2439, 0.3936, 0.7734, -0.2488, 0.6695, -0.3378, -0.5831, 0.6307, -0.9824, -0.8527, -0.8468, 0.3412, -0.0403, 0.402, 0.2783, 0.0899, -0.5714, 0.1891, 0.2763], [-0.6543, 0.8768, -0.4537, 0.6972, -0.1931, -0.8497, -0.5177, -0.1337, -0.2091, 0.6419, -0.7791, 0.9246, 0.5311, -0.1557, 0.3771, 0.0376, -0.1355, 0.6844, 0.4597, 0.1847, 0.9611, -0.507, -0.9323, -0.8449, -0.7752, 0.6214, -0.1342, -0.7058, 0.618, -0.7843, 0.2919, 0.9582, 0.6608, 0.4295, -0.2733, 0.9533, -0.5248, 0.9738, 0.2913, -0.3801, -0.1069, 0.9989, -0.0419, -0.9249, 0.5633, -0.1474, 0.7933, 0.7198, -0.3207, -0.5596, 0.8392, -0.4862, 0.177, -0.9821, 0.7241, -0.7661, -0.9912, 0.7001, -0.8158, -0.6114, -0.0736, 0.1385, 0.3147, 0.1735]]
 
 
-def _sig_expr_spark(vec: str) -> str:
+# wide (32-plane) signature for corpus-scale near-dup blocking
+# (dedup.embedding_neardup_pairs_wide): the extra 24 hyperplanes are
+# generated once at import by a fixed-constant LCG (Knuth MMIX), so
+# they are deterministic, dependency-free, and identical literals are
+# embedded in both engines' SQL — same portability contract as the
+# hand-pasted 8 above.
+N_HYPERPLANES_WIDE = 32
+
+
+def _lcg_hyperplanes(n: int, dim: int, seed: int) -> list[list[float]]:
+    rows, x = [], seed
+    for _ in range(n):
+        row = []
+        for _ in range(dim):
+            x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            row.append(round((x >> 11) / float(1 << 53) * 2 - 1, 4))
+        rows.append(row)
+    return rows
+
+
+WIDE_HYPERPLANES = HYPERPLANES + _lcg_hyperplanes(
+    N_HYPERPLANES_WIDE - N_HYPERPLANES, 64, seed=0x5EED1E55
+)
+
+
+def _sig_expr_spark(vec: str, planes=None) -> str:
     terms = []
-    for b, h in enumerate(HYPERPLANES):
+    for b, h in enumerate(planes if planes is not None else HYPERPLANES):
         arr = "array(" + ", ".join(f"{x}D" for x in h) + ")"
         dot = (
             f"aggregate(zip_with({vec}, {arr},"
@@ -363,9 +388,9 @@ def _sig_expr_spark(vec: str) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
-def _sig_expr_duck(vec: str) -> str:
+def _sig_expr_duck(vec: str, planes=None) -> str:
     terms = []
-    for b, h in enumerate(HYPERPLANES):
+    for b, h in enumerate(planes if planes is not None else HYPERPLANES):
         arr = "[" + ", ".join(str(x) for x in h) + "]"
         dot = (
             f"list_reduce(list_transform(range(1, len({vec}) + 1),"

@@ -198,3 +198,176 @@ def test_dedup_clusters_transitive(spark, tmp_path):
     got = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(spark, d).collect()}
     assert got.get("a-doc") == got.get("b-doc") == got.get("c-doc") == "a-doc"
     assert not any(k.startswith("noise-") for k in got)
+
+
+def test_connected_components_long_chain_raises_not_silent(spark):
+    """A path graph with diameter > max_rounds must raise CCNotConverged
+    — NEVER silently return a long duplicate chain split into several
+    clusters (VERDICT r03 item 2: the old loop fell through after
+    MAX_CC_ROUNDS with no signal)."""
+    from swift_readability_spark.operators.dedup import (
+        CCNotConverged,
+        connected_components,
+    )
+
+    n = 30  # path n000-n001-...-n029: diameter 29 > default 20 rounds
+    edges = spark.createDataFrame(
+        [(f"n{i:03d}", f"n{i+1:03d}") for i in range(n - 1)],
+        "doc_a string, doc_b string",
+    )
+    with pytest.raises(CCNotConverged, match="diameter"):
+        connected_components(edges, max_rounds=20).collect()
+
+
+def test_connected_components_long_chain_converges_with_more_rounds(spark):
+    """The remedy in the CCNotConverged message works: raising
+    max_rounds past the diameter converges the same chain to ONE
+    cluster (and exercises the localCheckpoint-every-5-rounds path)."""
+    from swift_readability_spark.operators.dedup import connected_components
+
+    n = 30
+    edges = spark.createDataFrame(
+        [(f"n{i:03d}", f"n{i+1:03d}") for i in range(n - 1)],
+        "doc_a string, doc_b string",
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(edges, max_rounds=40).collect()
+    }
+    assert len(got) == n
+    assert set(got.values()) == {"n000"}
+
+
+def test_wide_bands_candidate_volume_scales_linearly(spark):
+    """VERDICT r03 item 3 'done' criterion: with band width following
+    recommended_band_bits (~log2 n), candidate-pair volume on a 10x
+    corpus grows ~linearly (~10-15x), while a FIXED band width grows
+    ~quadratically (~100x) on the same data."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from swift_readability_spark.operators.dedup import (
+        N_SIMHASH_WIDE_BANDS,
+        _wide_band_value_spark,
+        recommended_band_bits,
+        simhash_wide,
+    )
+
+    def corpus(n, tmp):
+        rng = random.Random(1234)
+        vocab = [f"tok{i:04d}" for i in range(5000)]
+        rows = [
+            (f"d{i:05d}", " ".join(rng.choice(vocab) for _ in range(60)))
+            for i in range(n)
+        ]
+        spark.createDataFrame(rows, "doc_id string, text string").write.mode(
+            "overwrite"
+        ).parquet(f"{tmp}/documents.parquet")
+        return tmp
+
+    def pair_volume(sf_dir, band_bits):
+        wide = simhash_wide(spark, sf_dir)
+        bands = [
+            F.struct(
+                F.lit(b).alias("band"),
+                F.expr(_wide_band_value_spark(b, band_bits)).alias("value"),
+            )
+            for b in range(N_SIMHASH_WIDE_BANDS)
+        ]
+        banded = wide.select(F.explode(F.array(*bands)).alias("bb")).select(
+            "bb.band", "bb.value"
+        )
+        sizes = banded.groupBy("band", "value").count()
+        row = sizes.agg(
+            F.sum(F.expr("count * (count - 1) / 2")).alias("pairs")
+        ).collect()[0]
+        return float(row["pairs"] or 0.0)
+
+    n_small = 300
+    d_small = corpus(n_small, "/tmp/wide_lin_small")
+    d_big = corpus(n_small * 10, "/tmp/wide_lin_big")
+
+    bits_small = recommended_band_bits(n_small)   # 9
+    bits_big = recommended_band_bits(n_small * 10)  # 12
+    assert bits_small < bits_big
+
+    v_scaled_small = pair_volume(d_small, bits_small)
+    v_scaled_big = pair_volume(d_big, bits_big)
+    v_fixed_small = pair_volume(d_small, 8)
+    v_fixed_big = pair_volume(d_big, 8)
+
+    assert v_scaled_small > 0 and v_fixed_small > 0
+    scaled_ratio = v_scaled_big / v_scaled_small
+    fixed_ratio = v_fixed_big / v_fixed_small
+    # 10x corpus: log2-scaled width stays near-linear; fixed width is
+    # quadratic (n^2/2^bits with bits constant)
+    assert scaled_ratio < 30, scaled_ratio
+    assert fixed_ratio > 50, fixed_ratio
+    assert scaled_ratio < fixed_ratio / 3
+
+
+def test_simhash_wide_bands_exact_within_radius(spark, planted_dir):
+    """The 16-bit banding over the 64-bit fingerprint is pigeonhole-
+    exact for Hamming distance <= 3: the banded join finds precisely
+    the pairs a brute-force 64-bit Hamming scan finds."""
+    from swift_readability_spark.operators.dedup import (
+        SIMHASH_WIDE_MAX_HAMMING,
+        simhash_wide,
+        simhash_wide_neardup_pairs,
+    )
+
+    d, _ = planted_dir
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_wide_neardup_pairs(spark, d).collect()
+    }
+    boiler_pairs = {(a, b) for (a, b) in pairs if a.startswith("boiler-")}
+    assert len(boiler_pairs) == N_BOILER * (N_BOILER - 1) // 2
+    assert all(pairs[p] == 0 for p in boiler_pairs)
+    fp = {
+        r["doc_id"]: (r["fp_lo"], r["fp_hi"])
+        for r in simhash_wide(spark, d).collect()
+    }
+    ids = sorted(fp)
+
+    def ham(a, b):
+        return bin(fp[a][0] ^ fp[b][0]).count("1") + bin(
+            fp[a][1] ^ fp[b][1]
+        ).count("1")
+
+    brute = {
+        (a, b): ham(a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if ham(a, b) <= SIMHASH_WIDE_MAX_HAMMING
+    }
+    assert pairs == brute
+
+
+def test_simhash_wide_guard_fails_loudly(spark, planted_dir, monkeypatch):
+    """The wide operator carries the same pair-budget assert_true guard
+    as the 8-bit one."""
+    import swift_readability_spark.operators.dedup as dd
+
+    d, _ = planted_dir
+    monkeypatch.setattr(dd, "SIMHASH_GUARD_MAX", 10)
+    with pytest.raises(Exception, match="pair budget|exact dedup"):
+        dd.simhash_wide_neardup_pairs(spark, d).collect()
+
+
+def test_embedding_neardup_wide_has_teeth(spark):
+    """The 32-plane banded blocking still finds the planted >0.99
+    near-duplicates (single-bit signature flips are covered by the
+    2-band pigeonhole)."""
+    from swift_readability_spark.operators.dedup import (
+        N_PLANTED_NEARDUP,
+        embedding_neardup_pairs_wide,
+    )
+
+    rows = embedding_neardup_pairs_wide(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) > 0
+    planted = {(r["vec_a"], r["vec_b"]): r["cosine"] for r in rows
+               if r["vec_b"] >= 1_000_000}
+    assert len(planted) >= N_PLANTED_NEARDUP // 2
+    assert all(c > 0.99 for c in planted.values())

@@ -219,3 +219,37 @@ def _is_ancestor(a, b) -> bool:
             return True
         cur = cur.parent
     return False
+
+
+def test_grab_article_exception_restores_document():
+    """If _grab_once raises mid-attempt, grab_article must replay the
+    active journal before propagating — a caller that catches the
+    exception and reuses the Document must see a pristine tree (ADVICE
+    r03: previously the finally only stopped the journal, leaving the
+    doc half-mutated)."""
+    from swift_readability_spark.core.grabber import Grabber
+
+    html = (
+        "<html><head><title>T</title></head><body>"
+        + '<div class="ad"><p>junk</p></div>'
+        + "<div><p>" + "real content with words, commas, and length. " * 20
+        + "</p></div></body></html>"
+    )
+    doc = parse_html(html, "http://fakehost/x")
+    before = doc.outer_html
+    g = Grabber(doc, {"title": "T"})
+    real_grab_once = g._grab_once
+
+    def exploding_grab_once():
+        real_grab_once()  # mutates the tree (unlikely-candidate strip etc.)
+        raise RuntimeError("mid-attempt failure")
+
+    g._grab_once = exploding_grab_once
+    try:
+        g.grab_article()
+    except RuntimeError as e:
+        assert "mid-attempt" in str(e)
+    else:  # pragma: no cover
+        raise AssertionError("expected the planted exception to propagate")
+    assert doc.outer_html == before
+    assert D._journal is None
