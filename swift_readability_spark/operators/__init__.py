@@ -24,6 +24,8 @@ DRIVER_WINDOW_FIRST = (
     "extract_and_curate",
     "paragraph_dedup",
     "chunk_dedup_stats",
+    "stratified_sample",
+    "tfidf_top_terms",
     "pack_sequences",
     "mixture_sample",
     "corpus_report",

@@ -20,7 +20,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from .common import read
-from .dedup import _SPARK_NORM, _duck_hash, _spark_hash
+from .dedup import _SPARK_NORM, _duck_hash, _duck_hash60, _spark_hash, _spark_hash60
 from .text import _r
 
 # ---------------------------------------------------------------------------
@@ -59,23 +59,25 @@ def paragraph_dedup(spark, sf_dir):
     Scale shape: explode -> hash-groupBy count (map-side partial agg)
     -> the over-threshold chunk set is tiny relative to the corpus, so
     it broadcasts and the removal join is a map-side anti-join — the
-    only full shuffle is the final per-doc reassembly.  At 100 TB the
-    chunk key should be md5(chunk) rather than the string (same plan,
-    smaller shuffle rows).
+    only full shuffle is the final per-doc reassembly.  The duplicate
+    count groups on a 60-bit md5 of the chunk, never the string: the
+    count shuffle and the broadcast dup set carry 8-byte ints, and the
+    chunk text itself only rides the doc_id-keyed reassembly.
     """
     d = read(spark, sf_dir, "documents")
     chunks = d.selectExpr("doc_id", f"{_SPARK_CHUNKS} AS chunks")
     exploded = chunks.select(
         "doc_id", F.posexplode("chunks").alias("chunk_idx", "chunk")
-    )
+    ).withColumn("chunk_h", F.expr(_spark_hash60("chunk")))
     dup_chunks = (
-        exploded.groupBy("chunk")
+        exploded.select("chunk_h")
+        .groupBy("chunk_h")
         .count()
         .filter(F.col("count") > 1)
-        .select("chunk")
+        .select("chunk_h")
     )
     kept = (
-        exploded.join(F.broadcast(dup_chunks), "chunk", "left_anti")
+        exploded.join(F.broadcast(dup_chunks), "chunk_h", "left_anti")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_kept"),
@@ -105,16 +107,17 @@ WITH c AS (
   SELECT doc_id, {_DUCK_CHUNKS} AS chunks FROM documents
 ),
 e AS (
-  SELECT doc_id, pos - 1 AS chunk_idx, chunks[pos] AS chunk
+  SELECT doc_id, pos - 1 AS chunk_idx, chunks[pos] AS chunk,
+         {_duck_hash60('chunks[pos]')} AS chunk_h
   FROM c, LATERAL (SELECT unnest(generate_series(1, len(chunks))) AS pos) u
 ),
 dup AS (
-  SELECT chunk FROM e GROUP BY chunk HAVING count(*) > 1
+  SELECT chunk_h FROM e GROUP BY chunk_h HAVING count(*) > 1
 ),
 k AS (
   SELECT doc_id, count(*) AS n_kept,
          string_agg(chunk, ' ' ORDER BY chunk_idx) AS dedup_text
-  FROM e ANTI JOIN dup USING (chunk)
+  FROM e ANTI JOIN dup USING (chunk_h)
   GROUP BY doc_id
 )
 SELECT c.doc_id,
@@ -349,12 +352,17 @@ QUALIFY rnk <= {KNN_K}
 
 def chunk_dedup_stats(spark, sf_dir):
     """The audit for paragraph_dedup ("no silent caps" rule): how much
-    text the >1-occurrence rule removes.  One explode + chunk groupBy
-    (map-side partial) + a single-row rollup."""
+    text the >1-occurrence rule removes.  One explode + chunk-hash
+    groupBy (map-side partial, 8-byte shuffle keys — same 60-bit md5
+    stand-in as paragraph_dedup) + a single-row rollup."""
     d = read(spark, sf_dir, "documents")
     chunks = d.selectExpr("doc_id", f"{_SPARK_CHUNKS} AS chunks")
-    exploded = chunks.select(F.explode("chunks").alias("chunk"))
-    per_chunk = exploded.groupBy("chunk").agg(F.count("*").alias("freq"))
+    exploded = chunks.select(
+        F.expr(f"explode(transform(chunks, c -> {_spark_hash60('c')}))").alias(
+            "chunk_h"
+        )
+    )
+    per_chunk = exploded.groupBy("chunk_h").agg(F.count("*").alias("freq"))
     return per_chunk.select(
         F.sum("freq").cast("bigint").alias("n_occurrences"),
         F.count("*").cast("bigint").alias("n_distinct"),
@@ -373,10 +381,10 @@ WITH c AS (
   SELECT doc_id, {_DUCK_CHUNKS} AS chunks FROM documents
 ),
 e AS (
-  SELECT unnest(chunks) AS chunk FROM c
+  SELECT {_duck_hash60('unnest(chunks)')} AS chunk_h FROM c
 ),
 f AS (
-  SELECT chunk, count(*) AS freq FROM e GROUP BY chunk
+  SELECT chunk_h, count(*) AS freq FROM e GROUP BY chunk_h
 )
 SELECT CAST(sum(freq) AS BIGINT) AS n_occurrences,
        CAST(count(*) AS BIGINT) AS n_distinct,
@@ -387,8 +395,75 @@ FROM f
 """
 
 
+# ---------------------------------------------------------------------------
+# exact stratified sampling (eval-set construction)
+# ---------------------------------------------------------------------------
+STRATA_K = 50  # exact docs per language stratum
+# oversample factor for the candidate pre-filter: candidates per
+# stratum ~ Binomial(n, 8K/n) with mean 8K = 400; P(< K = 50) is
+# astronomically small (Chernoff), and the fixed corpus makes the
+# outcome deterministic — asserted by the oracle row counts.
+STRATA_OVERSAMPLE = 8
+_STRATA_BUCKETS = 1_000_000
+
+
+def stratified_sample(spark, sf_dir):
+    """Exactly min(K, |stratum|) documents per language, deterministic
+    under re-runs (pure function of doc_id, never rand()).
+
+    Scale shape — oversample-then-exact, NOT a naive per-stratum
+    window: a window over a raw stratum shuffles the whole corpus and
+    sends each language's full partition to one task (skew bomb for an
+    80%-English crawl).  Instead (1) a tiny per-language count
+    aggregates map-side and broadcasts, (2) a hash-bucket pre-filter
+    keeps ~``STRATA_OVERSAMPLE``*K candidates per stratum map-side (no
+    shuffle of the big side), (3) the exact top-K-by-hash window runs
+    on candidates only.  Strata smaller than K keep everything (the
+    threshold saturates)."""
+    d = read(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count("*").alias("n_stratum"))
+    bucket = f"pmod({_spark_hash60('CAST(doc_id AS STRING)')}, {_STRATA_BUCKETS})"
+    # integer ceil-div keeps both engines bit-identical (no float ceil)
+    thresh = (
+        f"least(CAST({_STRATA_BUCKETS} AS BIGINT),"
+        f" CAST(({STRATA_OVERSAMPLE * STRATA_K}L * {_STRATA_BUCKETS}"
+        f" + n_stratum - 1) DIV n_stratum AS BIGINT))"
+    )
+    cand = (
+        d.join(F.broadcast(counts), "lang")
+        .withColumn("bucket", F.expr(bucket))
+        .filter(F.col("bucket") < F.expr(thresh))
+    )
+    w = Window.partitionBy("lang").orderBy("bucket", "doc_id")
+    return (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= STRATA_K)
+        .select("doc_id", "lang", F.col("rnk").cast("bigint").alias("rnk"))
+    )
+
+
+STRATIFIED_SAMPLE_SQL = f"""
+WITH counts AS (SELECT lang, count(*) AS n_stratum FROM documents GROUP BY lang),
+cand AS (
+  SELECT d.doc_id, d.lang,
+         {_duck_hash60('CAST(d.doc_id AS VARCHAR)')} % {_STRATA_BUCKETS} AS bucket
+  FROM documents d JOIN counts USING (lang)
+  WHERE {_duck_hash60('CAST(d.doc_id AS VARCHAR)')} % {_STRATA_BUCKETS}
+        < least({_STRATA_BUCKETS},
+                ({STRATA_OVERSAMPLE * STRATA_K} * {_STRATA_BUCKETS}
+                 + n_stratum - 1) // n_stratum)
+)
+SELECT doc_id, lang,
+       CAST(row_number() OVER (PARTITION BY lang ORDER BY bucket, doc_id)
+            AS BIGINT) AS rnk
+FROM cand
+QUALIFY rnk <= {STRATA_K}
+"""
+
+
 QUERIES = {
     "paragraph_dedup": (paragraph_dedup, PARAGRAPH_DEDUP_SQL),
+    "stratified_sample": (stratified_sample, STRATIFIED_SAMPLE_SQL),
     "chunk_dedup_stats": (chunk_dedup_stats, CHUNK_DEDUP_STATS_SQL),
     "pack_sequences": (pack_sequences, PACK_SEQUENCES_SQL),
     "mixture_sample": (mixture_sample, MIXTURE_SAMPLE_SQL),

@@ -77,6 +77,19 @@ def _duck_hash(expr: str) -> str:
     return f"CAST(('0x' || substr(md5({expr}), 1, 8)) AS BIGINT)"
 
 
+# 60-bit variant (15 hex chars, fits int64) for SHUFFLE KEYS standing in
+# for long strings (chunks, n-grams): at corpus scale the shuffle row
+# carries an 8-byte int instead of a 60+-char string, and 60 bits keeps
+# birthday collisions negligible (~2^-18 at 10^6 distinct keys, where
+# the 32-bit hash above would already collide).
+def _spark_hash60(expr: str) -> str:
+    return f"CAST(conv(substr(md5({expr}), 1, 15), 16, 10) AS BIGINT)"
+
+
+def _duck_hash60(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
 def dedup_exact(spark, sf_dir):
     """Exact dedup: hash-groupBy on normalized content; the canonical
     representative is the minimum doc_id (map-side partial agg; the
@@ -1201,13 +1214,16 @@ def _gram_expr_duck(n: int) -> str:
 
 def decontaminate_against_eval(spark, sf_dir):
     """Per non-eval document: does it share any {DECON_NGRAM}-gram with
-    the eval set, and how many distinct grams overlap."""
+    the eval set, and how many distinct grams overlap.  Grams are
+    60-bit md5 ints from the start — the broadcast eval set and the
+    explode+groupBy shuffle carry 8-byte keys, never gram strings."""
     d = read(spark, sf_dir, "documents")
     grams = d.selectExpr(
         "doc_id", f"{_SPARK_NORM} AS norm"
     ).selectExpr(
         "doc_id",
-        f"array_distinct({_gram_expr_spark(DECON_NGRAM)}) AS grams",
+        f"array_distinct(transform({_gram_expr_spark(DECON_NGRAM)},"
+        f" g -> {_spark_hash60('g')})) AS grams",
     )
     eval_grams = (
         grams.filter(F.col("doc_id") < EVAL_SET_SIZE)
@@ -1234,7 +1250,10 @@ def decontaminate_against_eval(spark, sf_dir):
 
 DECONTAMINATE_SQL = f"""
 WITH w AS (SELECT doc_id, {_DUCK_WORDS} AS words FROM documents),
-grams AS (SELECT doc_id, list_distinct({_gram_expr_duck(DECON_NGRAM)}) AS grams FROM w),
+grams AS (SELECT doc_id,
+                 list_distinct(list_transform({_gram_expr_duck(DECON_NGRAM)},
+                                              g -> {_duck_hash60('g')})) AS grams
+          FROM w),
 eval_grams AS (
   SELECT DISTINCT unnest(grams) AS gram FROM grams WHERE doc_id < {EVAL_SET_SIZE}
 ),

@@ -9,6 +9,7 @@ no Python in the hot path.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from .common import read
@@ -535,3 +536,74 @@ FROM b
 """
 
 QUERIES["repetition_stats"] = (repetition_stats, REPETITION_SQL)
+
+
+# -- per-document TF-IDF top terms ------------------------------------------
+TFIDF_TOP_K = 3
+
+
+def tfidf_top_terms(spark, sf_dir):
+    """Top-``TFIDF_TOP_K`` characteristic terms per document by
+    TF-IDF.  The idf factor is the RATIONAL form n_docs/df scaled to
+    an integer (tf * 1e6 * n_docs DIV df): the ranking it induces per
+    document is identical to tf*(n/df) and, unlike ln(n/df), integer
+    arithmetic is bit-identical across engines (a 1-ulp ln() diff
+    could flip a rank tie).
+
+    Scale shape: explode -> (doc_id, word) hash groupBy with map-side
+    partial counting; the df table is vocab-sized (<< corpus) so Spark
+    broadcasts it at the join when under threshold, and the Zipf-hot
+    word keys are fine because each hot word is ONE row on the df side
+    (AQE skew-join splits the tf side if needed); the scalar n_docs is
+    an explicit broadcast.  Final per-doc top-k is a window on doc_id
+    — uniformly distributed, no skew."""
+    d = read(spark, sf_dir, "documents")
+    words = d.selectExpr(
+        "doc_id",
+        "explode(filter(split(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ')),"
+        " ' +'), x -> x <> '')) AS word",
+    )
+    tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("word").agg(F.count("*").alias("df"))
+    n = d.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df, "word")
+        .crossJoin(F.broadcast(n))
+        .withColumn("score_milli", F.expr("tf * 1000000L * n_docs DIV df"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_milli"), F.asc("word")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TFIDF_TOP_K)
+        .select(
+            "doc_id",
+            "word",
+            "tf",
+            "df",
+            "score_milli",
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+    )
+
+
+TFIDF_SQL = f"""
+WITH wds AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g')), ' +'), x -> x <> '')) AS word
+  FROM documents
+),
+tf AS (SELECT doc_id, word, count(*) AS tf FROM wds GROUP BY doc_id, word),
+df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT doc_id, word, tf, df,
+       tf * 1000000 * n_docs // df AS score_milli,
+       CAST(row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tf * 1000000 * n_docs // df DESC, word ASC)
+            AS BIGINT) AS rnk
+FROM tf JOIN df USING (word), n
+QUALIFY rnk <= {TFIDF_TOP_K}
+"""
+
+QUERIES["tfidf_top_terms"] = (tfidf_top_terms, TFIDF_SQL)

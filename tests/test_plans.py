@@ -173,3 +173,43 @@ def test_knn_join_broadcasts_query_batch(spark, reg):
     per-query top-k runs on the scan output."""
     plan = _plan(reg["knn_join"](spark, SF))
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_stratified_sample_broadcasts_counts_prefilter(spark, reg):
+    """The per-language count table must broadcast and the hash-bucket
+    pre-filter must run BEFORE the window: at 100 TB the corpus never
+    shuffles un-filtered into per-language window partitions."""
+    plan = _plan(reg["stratified_sample"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    # oversample pre-filter sits below the window (Filter on bucket
+    # appears, and the window input is the filtered candidate set)
+    assert plan.index("Window") < plan.index("BroadcastHashJoin")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_tfidf_partial_agg_no_python(spark, reg):
+    """tf and df counts must combine map-side; the whole operator stays
+    JVM-side."""
+    plan = _plan(reg["tfidf_top_terms"](spark, SF))
+    assert "partial" in plan.lower()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_paragraph_dedup_shuffles_hashes_not_chunks(spark, reg):
+    """The duplicate-count aggregation must key on the 60-bit chunk
+    hash, never the chunk string (8-byte shuffle rows at 100 TB)."""
+    plan = _plan(reg["paragraph_dedup"](spark, SF))
+    import re
+
+    # every hashAggregate keyed on chunk_h; no aggregate keyed on the
+    # raw chunk string
+    assert "chunk_h" in plan
+    assert not re.search(r"keys=\[chunk#", plan)
+
+
+def test_wide_neardup_single_band_shuffle(spark, reg):
+    """The 64-bit Hamming-band join keeps the 8-bit operator's shape:
+    window guard + groupBy share the (band, value) partitioning."""
+    plan = _plan(reg["simhash_wide_neardup_pairs"](spark, SF))
+    assert "raise_error" in plan  # loud pair-budget guard present
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
