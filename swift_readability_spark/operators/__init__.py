@@ -36,6 +36,8 @@ DRIVER_WINDOW_FIRST = (
     "simhash_wide",
     "simhash_wide_neardup_pairs",
     "embedding_neardup_pairs_wide",
+    "containment_pairs",
+    "ann_hyperplane_wide_topk",
     "ann_bruteforce_topk",
     "ivf_centroids",
     "ann_ivf_topk",

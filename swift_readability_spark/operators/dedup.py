@@ -1112,6 +1112,134 @@ QUERIES["embedding_neardup_pairs_wide"] = (
 )
 
 
+# -- asymmetric containment (doc-in-doc duplication) ------------------------
+# Jaccard misses the quote/aggregator case: a short article wholly
+# embedded in a long page has |A∩B|/|A∪B| ~ |A|/|B| (small) but
+# containment C(A in B) = |A∩B|/|A| ~ 1.  MinHash LSH CANNOT feed
+# this operator: band-collision probability is ~jaccard^band_size, so
+# a 0.15-Jaccard/0.95-containment pair is found with ~9% probability
+# (a planted short-in-long test proved the miss).  The scalable exact
+# candidate stage is PREFIX FILTERING (Chaudhuri et al.): order all
+# shingles by a GLOBAL rarity order (document frequency, then hash);
+# if |A∩B| >= ceil(0.5 * min(|A|,|B|)) then A's smaller-side prefix —
+# its floor(n/2)+1 rarest shingles — must intersect B's full set, so
+# joining prefixes against full sets on the shingle hash finds every
+# such pair.  Rarity ordering is also the skew defense: hot
+# boilerplate shingles sort LAST and (df-capped) never enter a
+# prefix, so the candidate join only ever keys on rare shingles.
+CONTAINMENT_MIN = 0.5
+# prefix-side df cap: shingles appearing in more documents than this
+# never enter a prefix.  Recall caveat (documented, audited by the df
+# table itself): a pair whose entire shared half is super-hot
+# boilerplate is exact-dedup's / paragraph_dedup's job, not
+# containment's — the same division of labor as MAX_LSH_BUCKET.
+CONTAINMENT_MAX_DF = 1000
+
+
+def containment_pairs(spark, sf_dir):
+    """(doc_a, doc_b, containment_a, containment_b) for every pair
+    with max-directional shingle containment >= ``CONTAINMENT_MIN``
+    (subject to the ``CONTAINMENT_MAX_DF`` prefix cap) — catches
+    subset-duplication that symmetric Jaccard under-scores.
+
+    Plan: one explode + df groupBy (map-side partial, 60-bit hash
+    keys), a per-doc row_number window in the global (df, hash) order,
+    the prefix-vs-full equi-join on the shingle hash (prefix side is
+    rare-only by construction), pair dedup, then the exact
+    array_intersect verify on the two docs' shingle sets."""
+    d = read(spark, sf_dir, "documents")
+    sets = (
+        d.selectExpr("doc_id", f"{_SPARK_NORM} AS norm")
+        .selectExpr("doc_id", f"array_distinct({_SPARK_SHINGLES}) AS shingles")
+    )
+    ex = sets.select(
+        "doc_id",
+        F.size("shingles").alias("n"),
+        F.explode("shingles").alias("shingle"),
+    ).withColumn("sh_h", F.expr(_spark_hash60("shingle")))
+    df_tbl = ex.groupBy("sh_h").agg(F.count("*").alias("df"))
+    ranked = ex.join(df_tbl, "sh_h")
+    w = Window.partitionBy("doc_id").orderBy("df", "sh_h")
+    prefix = (
+        ranked.withColumn("idx", F.row_number().over(w))
+        .filter(F.col("idx") <= F.expr("CAST(n DIV 2 AS INT) + 1"))
+        .filter(F.col("df") <= CONTAINMENT_MAX_DF)
+        .select(F.col("doc_id").alias("doc_p"), "sh_h")
+    )
+    cand = (
+        prefix.join(ex.select(F.col("doc_id").alias("doc_f"), "sh_h"), "sh_h")
+        .filter(F.col("doc_p") != F.col("doc_f"))
+        .select(
+            F.least("doc_p", "doc_f").alias("doc_a"),
+            F.greatest("doc_p", "doc_f").alias("doc_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.join(
+            sets.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            sets.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sb")),
+            "doc_b",
+        )
+        .withColumn("common", F.size(F.array_intersect("sa", "sb")))
+        .withColumn("containment_a", F.round(F.col("common") / F.size("sa"), 4))
+        .withColumn("containment_b", F.round(F.col("common") / F.size("sb"), 4))
+        .filter(
+            (F.col("containment_a") >= CONTAINMENT_MIN)
+            | (F.col("containment_b") >= CONTAINMENT_MIN)
+        )
+        .select("doc_a", "doc_b", "containment_a", "containment_b")
+    )
+
+
+def _containment_sql() -> str:
+    return f"""
+WITH w AS (SELECT doc_id, {_DUCK_WORDS} AS words FROM documents),
+sets AS (SELECT doc_id, list_distinct({_DUCK_SHINGLES}) AS shingles FROM w),
+ex AS (
+  SELECT doc_id, len(shingles) AS n, unnest(shingles) AS shingle
+  FROM sets
+),
+exh AS (SELECT doc_id, n, {_duck_hash60('shingle')} AS sh_h FROM ex),
+dft AS (SELECT sh_h, count(*) AS df FROM exh GROUP BY sh_h),
+ranked AS (
+  SELECT exh.doc_id, exh.n, exh.sh_h, dft.df,
+         row_number() OVER (PARTITION BY exh.doc_id ORDER BY dft.df, exh.sh_h) AS idx
+  FROM exh JOIN dft USING (sh_h)
+),
+prefix AS (
+  SELECT doc_id AS doc_p, sh_h FROM ranked
+  WHERE idx <= n // 2 + 1 AND df <= {CONTAINMENT_MAX_DF}
+),
+cand AS (
+  SELECT DISTINCT least(doc_p, f.doc_id) AS doc_a,
+                  greatest(doc_p, f.doc_id) AS doc_b
+  FROM prefix JOIN exh f USING (sh_h)
+  WHERE doc_p != f.doc_id
+),
+j AS (
+  SELECT doc_a, doc_b,
+         len(list_intersect(sa.shingles, sb.shingles)) AS common,
+         len(sa.shingles) AS na, len(sb.shingles) AS nb
+  FROM cand
+  JOIN sets sa ON sa.doc_id = doc_a
+  JOIN sets sb ON sb.doc_id = doc_b
+)
+SELECT doc_a, doc_b,
+       round(common / na, 4) AS containment_a,
+       round(common / nb, 4) AS containment_b
+FROM j
+WHERE round(common / na, 4) >= {CONTAINMENT_MIN}
+   OR round(common / nb, 4) >= {CONTAINMENT_MIN}
+"""
+
+
+QUERIES["containment_pairs"] = (containment_pairs, _containment_sql())
+
+
 # -- incremental dedup: a new crawl batch vs the committed corpus ----------
 # The production shape at 100 TB: the committed corpus is petabytes,
 # the daily increment is small.  The increment NEVER joins the raw

@@ -449,3 +449,79 @@ LIMIT {{K}}
 """.replace("{Q}", str(QUERY_VEC_ID)).replace("{P}", str(HAMMING_PROBE)).replace("{K}", str(TOP_K))
 
 QUERIES["ann_hyperplane_topk"] = (ann_hyperplane_topk, ANN_HYPERPLANE_SQL)
+
+
+# wide-signature ANN: the query-path twin of the corpus-scale dedup
+# blocking (dedup.embedding_neardup_pairs_wide).  4 bands of 8 bits
+# over the 32-bit signature: a candidate shares ANY band with the
+# query, so recall tolerates up to 3 flipped signature bits
+# (pigeonhole) vs the 8-bit probe's radius-2 — while scanning ~4/256
+# of a diverse corpus vs 9/256.  At 10^9+ vectors widen the bands
+# (2x16-bit halves — 1/32768 of the corpus, 1-flip tolerance), same
+# expression shape.
+ANN_WIDE_BAND_BITS = 8
+N_ANN_WIDE_BANDS = 4
+_ANN_WIDE_MASK = (1 << ANN_WIDE_BAND_BITS) - 1
+
+
+def _wide_band_match(sig: str, qsig: str) -> str:
+    return " OR ".join(
+        f"((({sig} >> {b * ANN_WIDE_BAND_BITS}) & {_ANN_WIDE_MASK})"
+        f" = (({qsig} >> {b * ANN_WIDE_BAND_BITS}) & {_ANN_WIDE_MASK}))"
+        for b in range(N_ANN_WIDE_BANDS)
+    )
+
+
+def ann_hyperplane_wide_topk(spark, sf_dir):
+    """ANN with the 32-bit (32-hyperplane) signature, banded 4x8 bits:
+    candidates share >= 1 band with the query — evaluated as a
+    map-side filter against the broadcast query signature (no join, no
+    shuffle, one corpus scan + TakeOrdered).  Candidates are pruned,
+    never approximated: every returned cosine is exact."""
+    e = read(spark, sf_dir, "embeddings")
+    sig = e.withColumn(
+        "sig", F.expr(_sig_expr_spark("embedding", WIDE_HYPERPLANES))
+    )
+    q = sig.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qvec"), F.col("sig").alias("qsig")
+    )
+    cos = F.expr(_DOT.format(a="embedding", b="qvec")) / (
+        F.expr(_NORM.format(v="embedding")) * F.expr(_NORM.format(v="qvec"))
+    )
+    return (
+        sig.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .filter(F.expr(_wide_band_match("sig", "qsig")))
+        .withColumn("cosine", F.round(cos, 4))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(TOP_K)
+        .select("vec_id", "label", "cosine")
+    )
+
+
+def _ann_hyperplane_wide_sql() -> str:
+    return f"""
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb,
+         {_sig_expr_duck('CAST(embedding AS DOUBLE[])', WIDE_HYPERPLANES)} AS sig
+  FROM embeddings
+),
+q AS (SELECT emb AS qvec, sig AS qsig FROM e WHERE vec_id = {QUERY_VEC_ID}),
+cand AS (
+  SELECT vec_id, label, emb FROM e, q
+  WHERE vec_id != {QUERY_VEC_ID}
+    AND ({_wide_band_match('e.sig', 'q.qsig')})
+)
+SELECT vec_id, label,
+       round({_D_DOT.format(a='emb', b='qvec')}
+             / ({_D_NORM.format(v='emb')} * {_D_NORM.format(v='qvec')}), 4) AS cosine
+FROM cand, q
+ORDER BY cosine DESC, vec_id ASC
+LIMIT {TOP_K}
+"""
+
+
+QUERIES["ann_hyperplane_wide_topk"] = (
+    ann_hyperplane_wide_topk,
+    _ann_hyperplane_wide_sql(),
+)

@@ -213,3 +213,21 @@ def test_wide_neardup_single_band_shuffle(spark, reg):
     plan = _plan(reg["simhash_wide_neardup_pairs"](spark, SF))
     assert "raise_error" in plan  # loud pair-budget guard present
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_containment_prefix_join_is_hash_keyed_and_df_capped(spark, reg):
+    """The containment candidate join keys on the 60-bit shingle hash
+    (never strings) and the prefix side is df-capped BEFORE the join
+    (hot boilerplate shingles cannot become join keys)."""
+    plan = _plan(reg["containment_pairs"](spark, SF))
+    assert "sh_h" in plan
+    assert "1000" in plan  # CONTAINMENT_MAX_DF filter present
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ann_wide_is_scan_plus_takeordered(spark, reg):
+    """The wide-signature probe is a map-side filter against the
+    broadcast query row: corpus scanned once, no corpus shuffle."""
+    plan = _plan(reg["ann_hyperplane_wide_topk"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "TakeOrderedAndProject" in plan

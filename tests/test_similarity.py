@@ -72,3 +72,61 @@ def test_hyperplane_lsh_recall_floor(spark):
     lsh = {r["vec_id"] for r in ann_hyperplane_topk(spark, SF_DIR).collect()}
     assert len(lsh) == TOP_K
     assert len(brute & lsh) / TOP_K >= 0.3
+
+
+def test_hyperplane_wide_results_exact_and_nonempty(spark):
+    """The 4x8-band wide-signature probe returns candidates (non-
+    vacuous at test scale) and, being prune-only, every returned
+    cosine matches the brute-force exact value."""
+    from swift_readability_spark.operators.similarity import (
+        ann_hyperplane_wide_topk,
+    )
+
+    brute = {
+        r["vec_id"]: r["cosine"]
+        for r in ann_bruteforce_topk(spark, SF_DIR).collect()
+    }
+    rows = ann_hyperplane_wide_topk(spark, SF_DIR).collect()
+    assert len(rows) > 0
+    for r in rows:
+        if r["vec_id"] in brute:
+            assert r["cosine"] == brute[r["vec_id"]]
+
+
+def test_containment_catches_subset_duplication(spark, tmp_path):
+    """A short doc fully embedded in a long page scores low Jaccard
+    but high containment — the asymmetric operator must flag it."""
+    import random
+
+    from swift_readability_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    rng = random.Random(99)
+    vocab = [f"w{i:03d}" for i in range(400)]
+    short = [rng.choice(vocab) for _ in range(30)]
+    long_doc = short + [rng.choice(vocab) for _ in range(170)]
+    rows = [("short-doc", " ".join(short)), ("long-doc", " ".join(long_doc))]
+    for i in range(10):
+        rows.append(
+            (f"noise-{i:02d}", " ".join(rng.choice(vocab) for _ in range(80)))
+        )
+    d = str(tmp_path)
+    spark.createDataFrame(rows, "doc_id string, text string").write.parquet(
+        f"{d}/documents.parquet"
+    )
+    cont = {
+        (r["doc_a"], r["doc_b"]): (r["containment_a"], r["containment_b"])
+        for r in containment_pairs(spark, d).collect()
+    }
+    key = ("long-doc", "short-doc")
+    assert key in cont
+    ca, cb = cont[key]
+    assert max(ca, cb) > 0.9  # the short doc is ~fully contained
+    jac = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(spark, d).collect()
+    }
+    # symmetric Jaccard under-scores the same pair
+    assert jac.get(key, 0.0) < 0.5
