@@ -1050,16 +1050,19 @@ def embedding_neardup_pairs_wide(spark, sf_dir):
         "sqrt(aggregate(transform({col}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
         " 0D, (acc, v) -> acc + v))"
     )
+    # threshold on the RAW cosine (identical IEEE ops, left-to-right
+    # folds in both engines); floor-based rounding is output-only
+    # (round() is engine-divergent on doubles — text.py::_r)
     return (
         cand.withColumn(
-            "cosine",
-            F.round(
-                F.expr(dot)
-                / (F.expr(norm.format(col="ea")) * F.expr(norm.format(col="eb"))),
-                4,
-            ),
+            "cosine_raw",
+            F.expr(dot)
+            / (F.expr(norm.format(col="ea")) * F.expr(norm.format(col="eb"))),
         )
-        .filter(F.col("cosine") >= NEARDUP_MIN_COSINE)
+        .filter(F.col("cosine_raw") >= NEARDUP_MIN_COSINE)
+        .withColumn(
+            "cosine", F.floor(F.col("cosine_raw") * 10000 + 0.5) / 10000
+        )
         .select("vec_a", "vec_b", "cosine")
     )
 
@@ -1073,12 +1076,13 @@ def _neardup_wide_sql() -> str:
         f" (sig >> {b * EMB_WIDE_BAND_BITS}) & {mask} AS value FROM e"
         for b in range(N_EMB_WIDE_BANDS)
     )
-    cos = (
-        "round(list_reduce(list_transform(range(1, len(ea.emb) + 1),"
+    cos_raw = (
+        "(list_reduce(list_transform(range(1, len(ea.emb) + 1),"
         " i -> ea.emb[i] * eb.emb[i]), (x, y) -> x + y)"
         " / (sqrt(list_reduce(list_transform(ea.emb, x -> x * x), (x, y) -> x + y))"
-        " * sqrt(list_reduce(list_transform(eb.emb, x -> x * x), (x, y) -> x + y))), 4)"
+        " * sqrt(list_reduce(list_transform(eb.emb, x -> x * x), (x, y) -> x + y))))"
     )
+    cos = f"floor({cos_raw} * 10000 + 0.5) / 10000"
     return f"""
 WITH base AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
 planted AS (
@@ -1102,7 +1106,7 @@ SELECT vec_a, vec_b, {cos} AS cosine
 FROM cand
 JOIN e ea ON ea.vec_id = vec_a
 JOIN e eb ON eb.vec_id = vec_b
-WHERE {cos} >= {NEARDUP_MIN_COSINE}
+WHERE {cos_raw} >= {NEARDUP_MIN_COSINE}
 """
 
 
@@ -1185,11 +1189,22 @@ def containment_pairs(spark, sf_dir):
             "doc_b",
         )
         .withColumn("common", F.size(F.array_intersect("sa", "sb")))
-        .withColumn("containment_a", F.round(F.col("common") / F.size("sa"), 4))
-        .withColumn("containment_b", F.round(F.col("common") / F.size("sb"), 4))
+        # threshold on the EXACT rational (2*common >= n — integer
+        # compare, engine-identical, and precisely the prefix-filter
+        # guarantee common >= ceil(n/2)); rounding is output-only and
+        # floor-based (engine-portable, see text.py::_r — round() is
+        # decimal-string HALF_UP in Spark vs binary in DuckDB)
         .filter(
-            (F.col("containment_a") >= CONTAINMENT_MIN)
-            | (F.col("containment_b") >= CONTAINMENT_MIN)
+            (2 * F.col("common") >= F.size("sa"))
+            | (2 * F.col("common") >= F.size("sb"))
+        )
+        .withColumn(
+            "containment_a",
+            F.floor(F.col("common") / F.size("sa") * 10000 + 0.5) / 10000,
+        )
+        .withColumn(
+            "containment_b",
+            F.floor(F.col("common") / F.size("sb") * 10000 + 0.5) / 10000,
         )
         .select("doc_a", "doc_b", "containment_a", "containment_b")
     )
@@ -1229,11 +1244,10 @@ j AS (
   JOIN sets sb ON sb.doc_id = doc_b
 )
 SELECT doc_a, doc_b,
-       round(common / na, 4) AS containment_a,
-       round(common / nb, 4) AS containment_b
+       floor(common / na * 10000 + 0.5) / 10000 AS containment_a,
+       floor(common / nb * 10000 + 0.5) / 10000 AS containment_b
 FROM j
-WHERE round(common / na, 4) >= {CONTAINMENT_MIN}
-   OR round(common / nb, 4) >= {CONTAINMENT_MIN}
+WHERE 2 * common >= na OR 2 * common >= nb
 """
 
 
@@ -1450,6 +1464,27 @@ def connected_components(edges, max_rounds=MAX_CC_ROUNDS):
     # small graph per cluster: cache the edge list once; each round is
     # one join + one groupBy
     bidir = bidir.cache()
+    sc = edges.sparkSession.sparkContext
+
+    def _persistent_ids():
+        m = sc._jsc.sc().getPersistentRDDs()
+        lst = m.toList()
+        return {lst.apply(i)._1() for i in range(m.size())}
+
+    def _unpersist_ids(ids):
+        # localCheckpoint'ed RDDs never register with the CacheManager
+        # (Dataset.unpersist is a no-op on them, is_cached stays
+        # False), so superseded checkpoints must be released via the
+        # SparkContext's persistent-RDD map — otherwise storage grows
+        # by one label-table copy per checkpoint until JVM GC.
+        m = sc._jsc.sc().getPersistentRDDs()
+        lst = m.toList()
+        for i in range(m.size()):
+            pair = lst.apply(i)
+            if pair._1() in ids:
+                pair._2().unpersist(False)
+
+    labels_ckpt_ids: set = set()
     changed = 0
     try:
         for rnd in range(1, max_rounds + 1):
@@ -1468,10 +1503,13 @@ def connected_components(edges, max_rounds=MAX_CC_ROUNDS):
                     ).alias("label"),
                 )
             )
+            new_ckpt_ids: set = set()
             if rnd % CC_CHECKPOINT_EVERY == 0:
                 # truncate the join-per-round lineage (eager = also
                 # materialized, so dropping the old cache below is safe)
+                before = _persistent_ids()
                 new_labels = new_labels.localCheckpoint(eager=True)
+                new_ckpt_ids = _persistent_ids() - before
             else:
                 new_labels = new_labels.cache()
             changed = (
@@ -1481,12 +1519,15 @@ def connected_components(edges, max_rounds=MAX_CC_ROUNDS):
                 .count()
             )
             # the changed-count just materialized new_labels, so the
-            # previous round's cache is dead weight from here on — without
+            # previous round's copy is dead weight from here on — without
             # this, executor storage grows O(rounds x labels) and evicts
             # hot blocks on a large corpus
             if labels.is_cached:
                 labels.unpersist()
+            elif labels_ckpt_ids:
+                _unpersist_ids(labels_ckpt_ids)
             labels = new_labels
+            labels_ckpt_ids = new_ckpt_ids
             if changed == 0:
                 break
     finally:

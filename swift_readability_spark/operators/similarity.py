@@ -488,14 +488,21 @@ def ann_hyperplane_wide_topk(spark, sf_dir):
     cos = F.expr(_DOT.format(a="embedding", b="qvec")) / (
         F.expr(_NORM.format(v="embedding")) * F.expr(_NORM.format(v="qvec"))
     )
+    # rank by the RAW cosine (identical IEEE folds in both engines);
+    # floor-based rounding is output-only (round() is engine-divergent
+    # on doubles — text.py::_r)
     return (
         sig.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != QUERY_VEC_ID)
         .filter(F.expr(_wide_band_match("sig", "qsig")))
-        .withColumn("cosine", F.round(cos, 4))
-        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .withColumn("cosine_raw", cos)
+        .orderBy(F.desc("cosine_raw"), F.asc("vec_id"))
         .limit(TOP_K)
-        .select("vec_id", "label", "cosine")
+        .select(
+            "vec_id",
+            "label",
+            (F.floor(F.col("cosine_raw") * 10000 + 0.5) / 10000).alias("cosine"),
+        )
     )
 
 
@@ -511,12 +518,17 @@ cand AS (
   SELECT vec_id, label, emb FROM e, q
   WHERE vec_id != {QUERY_VEC_ID}
     AND ({_wide_band_match('e.sig', 'q.qsig')})
+),
+scored AS (
+  SELECT vec_id, label,
+         {_D_DOT.format(a='emb', b='qvec')}
+           / ({_D_NORM.format(v='emb')} * {_D_NORM.format(v='qvec')}) AS cosine_raw
+  FROM cand, q
 )
 SELECT vec_id, label,
-       round({_D_DOT.format(a='emb', b='qvec')}
-             / ({_D_NORM.format(v='emb')} * {_D_NORM.format(v='qvec')}), 4) AS cosine
-FROM cand, q
-ORDER BY cosine DESC, vec_id ASC
+       floor(cosine_raw * 10000 + 0.5) / 10000 AS cosine
+FROM scored
+ORDER BY cosine_raw DESC, vec_id ASC
 LIMIT {TOP_K}
 """
 

@@ -544,32 +544,30 @@ TFIDF_TOP_K = 3
 
 def tfidf_top_terms(spark, sf_dir):
     """Top-``TFIDF_TOP_K`` characteristic terms per document by
-    TF-IDF.  The idf factor is the RATIONAL form n_docs/df scaled to
-    an integer (tf * 1e6 * n_docs DIV df): the ranking it induces per
-    document is identical to tf*(n/df) and, unlike ln(n/df), integer
-    arithmetic is bit-identical across engines (a 1-ulp ln() diff
-    could flip a rank tie).
+    TF-IDF.  The score is the RATIONAL form scaled to an integer,
+    ``tf * 1e6 DIV df``: for a fixed corpus the per-document ranking
+    it induces equals tf*(N/df) (N is a constant factor), and integer
+    arithmetic is bit-identical across engines where a 1-ulp ``ln()``
+    difference could flip a rank tie.  No N in the product keeps the
+    score inside int64 at any corpus size (tf <= doc words ~ 1e6 ->
+    score <= 1e12); granularity note: floor() merges scores whose
+    tf/df ratios differ by < 1e-6 — ties then break on the word,
+    identically in both engines.
 
     Scale shape: explode -> (doc_id, word) hash groupBy with map-side
     partial counting; the df table is vocab-sized (<< corpus) so Spark
     broadcasts it at the join when under threshold, and the Zipf-hot
     word keys are fine because each hot word is ONE row on the df side
-    (AQE skew-join splits the tf side if needed); the scalar n_docs is
-    an explicit broadcast.  Final per-doc top-k is a window on doc_id
-    — uniformly distributed, no skew."""
+    (AQE skew-join splits the tf side if needed).  Final per-doc top-k
+    is a window on doc_id — uniformly distributed, no skew."""
+    from .dedup import _SPARK_WORDS  # ONE tokenizer for all word ops
+
     d = read(spark, sf_dir, "documents")
-    words = d.selectExpr(
-        "doc_id",
-        "explode(filter(split(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ')),"
-        " ' +'), x -> x <> '')) AS word",
-    )
+    words = d.selectExpr("doc_id", f"explode({_SPARK_WORDS}) AS word")
     tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
     df = tf.groupBy("word").agg(F.count("*").alias("df"))
-    n = d.agg(F.count("*").alias("n_docs"))
-    scored = (
-        tf.join(df, "word")
-        .crossJoin(F.broadcast(n))
-        .withColumn("score_milli", F.expr("tf * 1000000L * n_docs DIV df"))
+    scored = tf.join(df, "word").withColumn(
+        "score_milli", F.expr("tf * 1000000L DIV df")
     )
     w = Window.partitionBy("doc_id").orderBy(
         F.desc("score_milli"), F.asc("word")
@@ -590,20 +588,18 @@ def tfidf_top_terms(spark, sf_dir):
 
 TFIDF_SQL = f"""
 WITH wds AS (
-  SELECT doc_id,
-         unnest(list_filter(string_split_regex(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g')), ' +'), x -> x <> '')) AS word
+  SELECT doc_id, unnest({{DUCK_WORDS}}) AS word
   FROM documents
 ),
 tf AS (SELECT doc_id, word, count(*) AS tf FROM wds GROUP BY doc_id, word),
-df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
-n AS (SELECT count(*) AS n_docs FROM documents)
+df AS (SELECT word, count(*) AS df FROM tf GROUP BY word)
 SELECT doc_id, word, tf, df,
-       tf * 1000000 * n_docs // df AS score_milli,
+       tf * 1000000 // df AS score_milli,
        CAST(row_number() OVER (PARTITION BY doc_id
-                               ORDER BY tf * 1000000 * n_docs // df DESC, word ASC)
+                               ORDER BY tf * 1000000 // df DESC, word ASC)
             AS BIGINT) AS rnk
-FROM tf JOIN df USING (word), n
+FROM tf JOIN df USING (word)
 QUALIFY rnk <= {TFIDF_TOP_K}
-"""
+""".replace("{DUCK_WORDS}", _R_DUCK_WORDS)
 
 QUERIES["tfidf_top_terms"] = (tfidf_top_terms, TFIDF_SQL)

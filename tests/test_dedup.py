@@ -238,7 +238,7 @@ def test_connected_components_long_chain_converges_with_more_rounds(spark):
     assert set(got.values()) == {"n000"}
 
 
-def test_wide_bands_candidate_volume_scales_linearly(spark):
+def test_wide_bands_candidate_volume_scales_linearly(spark, tmp_path):
     """VERDICT r03 item 3 'done' criterion: with band width following
     recommended_band_bits (~log2 n), candidate-pair volume on a 10x
     corpus grows ~linearly (~10-15x), while a FIXED band width grows
@@ -261,9 +261,9 @@ def test_wide_bands_candidate_volume_scales_linearly(spark):
             (f"d{i:05d}", " ".join(rng.choice(vocab) for _ in range(60)))
             for i in range(n)
         ]
-        spark.createDataFrame(rows, "doc_id string, text string").write.mode(
-            "overwrite"
-        ).parquet(f"{tmp}/documents.parquet")
+        spark.createDataFrame(rows, "doc_id string, text string").write.parquet(
+            f"{tmp}/documents.parquet"
+        )
         return tmp
 
     def pair_volume(sf_dir, band_bits):
@@ -285,8 +285,8 @@ def test_wide_bands_candidate_volume_scales_linearly(spark):
         return float(row["pairs"] or 0.0)
 
     n_small = 300
-    d_small = corpus(n_small, "/tmp/wide_lin_small")
-    d_big = corpus(n_small * 10, "/tmp/wide_lin_big")
+    d_small = corpus(n_small, str(tmp_path / "small"))
+    d_big = corpus(n_small * 10, str(tmp_path / "big"))
 
     bits_small = recommended_band_bits(n_small)   # 9
     bits_big = recommended_band_bits(n_small * 10)  # 12
@@ -371,3 +371,57 @@ def test_embedding_neardup_wide_has_teeth(spark):
                if r["vec_b"] >= 1_000_000}
     assert len(planted) >= N_PLANTED_NEARDUP // 2
     assert all(c > 0.99 for c in planted.values())
+
+
+def test_containment_prefix_filter_is_exact_vs_bruteforce(spark, tmp_path):
+    """Prefix filtering is an EXACT candidate stage (modulo the df
+    cap, which no shingle here reaches): the operator's output equals
+    a brute-force Python all-pairs containment scan over the same
+    shingle sets."""
+    import random
+    import re
+
+    from swift_readability_spark.operators.dedup import (
+        CONTAINMENT_MIN,
+        containment_pairs,
+    )
+
+    rng = random.Random(314)
+    vocab = [f"w{i:03d}" for i in range(150)]
+    rows = []
+    for i in range(40):
+        n = rng.randrange(8, 60)
+        rows.append((f"d{i:02d}", " ".join(rng.choice(vocab) for _ in range(n))))
+    # planted: full containment and partial overlap
+    base = rows[0][1].split()
+    rows.append(("sub-doc", " ".join(base[: max(6, len(base) // 3)])))
+    d = str(tmp_path)
+    spark.createDataFrame(rows, "doc_id string, text string").write.parquet(
+        f"{d}/documents.parquet"
+    )
+
+    def shingles(text):
+        words = [w for w in re.sub(r"[^a-zA-Z0-9 ]", " ", text.lower()).split() if w]
+        if len(words) < 3:
+            return {" ".join(words)}
+        return {" ".join(words[i : i + 3]) for i in range(len(words) - 2)}
+
+    sets = {doc: shingles(t) for doc, t in rows}
+    expected = {}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            common = len(sets[a] & sets[b])
+            ca = round(common / len(sets[a]) + 1e-12, 4)
+            cb = round(common / len(sets[b]) + 1e-12, 4)
+            if ca >= CONTAINMENT_MIN or cb >= CONTAINMENT_MIN:
+                expected[(a, b)] = (ca, cb)
+
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["containment_a"], r["containment_b"])
+        for r in containment_pairs(spark, d).collect()
+    }
+    assert set(got) == set(expected)
+    for k in expected:
+        assert abs(got[k][0] - expected[k][0]) < 1e-3
+        assert abs(got[k][1] - expected[k][1]) < 1e-3
