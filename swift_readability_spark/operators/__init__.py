@@ -22,6 +22,7 @@ DRIVER_WINDOW_FIRST = (
     "extract_metadata",
     "extract_spans_stats",
     "extract_and_curate",
+    "build_training_set",
     "paragraph_dedup",
     "chunk_dedup_stats",
     "stratified_sample",

@@ -29,14 +29,21 @@ _HTML_TAIL = "'</div></body></html>'"
 _MEDIA_REF = "'http://fakehost/media/img-' || doc_id || '.jpg'"
 
 
-def interleaved_documents(spark, sf_dir, partitions: int | None = None):
+def interleaved_documents(
+    spark, sf_dir, partitions: int | None = None, where: str | None = None
+):
     """documents -> (doc_id, spans) in the BASELINE input_hint shape.
 
     ``partitions`` pre-spreads the base table so the HTML construction
     runs in parallel even when the source is a single parquet file
     (otherwise the map stage feeding the extraction shuffle is serial).
+    ``where`` filters the source BELOW the Arrow stage (pushed to the
+    parquet scan) — filters cannot be pushed through mapInArrow, so a
+    consumer that only needs a slice must prune here, not above.
     """
     d = read(spark, sf_dir, "documents")
+    if where:
+        d = d.filter(where)
     if partitions:
         d = d.repartition(partitions)
     return d.selectExpr(
@@ -57,12 +64,12 @@ def interleaved_documents(spark, sf_dir, partitions: int | None = None):
     )
 
 
-def _extracted(spark, sf_dir):
+def _extracted(spark, sf_dir, where: str | None = None):
     # partition count from actual cluster parallelism, not
     # spark.sql.shuffle.partitions: a default-200 session would spread
     # this small demo corpus over 800 physical tasks of pure overhead
     n = max(int(spark.sparkContext.defaultParallelism), 2)
-    docs = interleaved_documents(spark, sf_dir, partitions=n)
+    docs = interleaved_documents(spark, sf_dir, partitions=n, where=where)
     return plan_extraction(
         docs, "http://fakehost/test/page.html", run_id="entry", n_partitions=n
     )
@@ -161,7 +168,24 @@ def extract_and_curate(spark, sf_dir):
     corpus's paragraphs are short, so it passes only ~1% and would
     make the demo degenerate — on real pages add
     ``& F.col("readerable")``."""
-    out = _extracted(spark, sf_dir)
+    return _curated(spark, sf_dir).select(
+        "doc_id", "title", "lang", "text_length", "content_hash"
+    )
+
+
+def _curated(spark, sf_dir, with_content: bool = False, where: str | None = None):
+    """Shared extract -> quality-gate -> exact-dedup subplan.
+
+    The canonical-per-hash pick is a WINDOW (row_number over
+    content_hash), not a groupBy + self-semi-join: the self-join form
+    references the extraction subtree twice and Spark has no cross-DAG
+    CSE below Exchange boundaries, so the Arrow extraction stage — the
+    most expensive stage of the whole pipeline — physically ran TWICE
+    (measured: 2 PythonMapInArrow nodes in the executedPlan).  The
+    window form is one subtree, one extraction pass."""
+    from pyspark.sql import Window
+
+    out = _extracted(spark, sf_dir, where=where)
     # plain text of the extracted article: concatenate text spans,
     # strip markup (span text is serialized HTML of the cleaned
     # content; the synthetic corpus has no entity-escaped chars)
@@ -169,25 +193,28 @@ def extract_and_curate(spark, sf_dir):
         "regexp_replace(concat_ws('', transform(filter(spans,"
         " s -> s.kind = 'text'), s -> s.text)), '<[^>]*>', '')"
     )
+    cols = [
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "title",
+        "lang",
+        F.col("text_length").cast("bigint").alias("text_length"),
+        F.md5(F.col("content")).alias("content_hash"),
+    ]
+    if with_content:
+        cols.append("content")
     curated = (
         out.filter(
             (F.col("error").isNull())
             & (F.col("text_length") >= CURATE_MIN_CHARS)
         )
-        .withColumn("content_hash", F.md5(F.expr(content_text)))
-        .select(
-            F.col("doc_id").cast("bigint").alias("doc_id"),
-            "title",
-            "lang",
-            F.col("text_length").cast("bigint").alias("text_length"),
-            "content_hash",
-        )
+        .withColumn("content", F.expr(content_text))
+        .select(*cols)
     )
-    canonical = curated.groupBy("content_hash").agg(
-        F.min("doc_id").alias("doc_id")
-    )
-    return curated.join(canonical, ["content_hash", "doc_id"], "left_semi").select(
-        "doc_id", "title", "lang", "text_length", "content_hash"
+    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    return (
+        curated.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .drop("rnk")
     )
 
 
@@ -228,3 +255,184 @@ JOIN (
 """
 
 QUERIES["extract_and_curate"] = (extract_and_curate, EXTRACT_AND_CURATE_SQL)
+
+
+# -- the whole training-data pipeline as ONE plan ---------------------------
+# extract -> quality gate -> exact dedup -> eval-set decontamination ->
+# hash-stable split -> token-budget sequence packing.  A user of the
+# reference engine plus a data-pipeline stack runs these as six jobs;
+# here it is one DAG with ONE pass of the expensive Arrow extraction
+# over the corpus (plus a scan-pruned re-extraction of the ~tiny eval
+# slice), and every stage stays value-oracled because each is
+# deterministic and closed-form on the constructed corpus.
+TRAIN_EVAL_DOCS = 20  # curated docs with doc_id < this form the eval set
+TRAIN_PACK_BUDGET = 256
+TRAIN_PACK_BUCKETS = 8
+TRAIN_SPLIT_BUCKETS = 100
+TRAIN_VAL_PCT = 5
+TRAIN_TEST_PCT = 5
+
+
+def build_training_set(spark, sf_dir):
+    """(doc_id, lang, text_length, n_tokens, split, pack_bucket,
+    seq_id) for every curated, decontaminated corpus document.
+
+    Scale shape: one Arrow extraction pass + window dedup (see
+    ``_curated``); the eval branch re-extracts ONLY ``doc_id <
+    TRAIN_EVAL_DOCS`` (the filter sits below the Arrow stage, pushed
+    to the scan — filters cannot cross mapInArrow) and collapses to a
+    single broadcast row of distinct 60-bit gram hashes, so the
+    contamination check is a map-side ``array_intersect`` per doc —
+    the corpus subtree is referenced exactly once, no self-join.
+    Split and pack-bucket are pure functions of doc_id; packing is
+    the per-(split, bucket) window cumsum of pack_sequences."""
+    from pyspark.sql import Window
+
+    from .dedup import DECON_NGRAM, _ngram_lookahead_re, _spark_hash60
+
+    norm = (
+        "trim(regexp_replace(lower(regexp_replace(content,"
+        " '[^a-zA-Z0-9 ]', ' ')), ' +', ' '))"
+    )
+    grams = (
+        f"array_distinct(transform(regexp_extract_all(norm,"
+        f" '{_ngram_lookahead_re(DECON_NGRAM)}', 1),"
+        f" g -> {_spark_hash60('g')}))"
+    )
+
+    def with_grams(df):
+        return df.withColumn("norm", F.expr(norm)).withColumn(
+            "grams", F.expr(grams)
+        )
+
+    eval_row = (
+        with_grams(
+            _curated(
+                spark, sf_dir, with_content=True,
+                where=f"doc_id < {TRAIN_EVAL_DOCS}",
+            )
+        )
+        .select(F.explode("grams").alias("g"))
+        .distinct()
+        .agg(F.collect_set("g").alias("eval_grams"))
+    )
+    corpus = with_grams(
+        _curated(spark, sf_dir, with_content=True)
+    ).filter(F.col("doc_id") >= TRAIN_EVAL_DOCS)
+    clean = (
+        corpus.crossJoin(F.broadcast(eval_row))
+        .withColumn(
+            "overlap", F.size(F.array_intersect("grams", "eval_grams"))
+        )
+        .filter(F.col("overlap") == 0)
+    )
+    split_bucket = (
+        f"pmod({_spark_hash60('CAST(doc_id AS STRING)')}, {TRAIN_SPLIT_BUCKETS})"
+    )
+    pack_bucket = (
+        f"pmod({_spark_hash60(chr(39) + 'pack:' + chr(39) + ' || CAST(doc_id AS STRING)')},"
+        f" {TRAIN_PACK_BUCKETS})"
+    )
+    routed = clean.selectExpr(
+        "doc_id",
+        "lang",
+        "text_length",
+        "CAST(size(split(trim(content), '\\\\s+')) AS BIGINT) AS n_tokens",
+        f"CASE WHEN {split_bucket} < {TRAIN_VAL_PCT} THEN 'val'"
+        f" WHEN {split_bucket} < {TRAIN_VAL_PCT + TRAIN_TEST_PCT} THEN 'test'"
+        f" ELSE 'train' END AS split",
+        f"CAST({pack_bucket} AS BIGINT) AS pack_bucket",
+    )
+    w = (
+        Window.partitionBy("split", "pack_bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return routed.select(
+        "doc_id",
+        "lang",
+        "text_length",
+        "n_tokens",
+        "split",
+        "pack_bucket",
+        F.floor((cum - F.col("n_tokens")) / TRAIN_PACK_BUDGET)
+        .cast("bigint")
+        .alias("seq_id"),
+    )
+
+
+def _build_training_set_sql() -> str:
+    from .dedup import _duck_hash60, _gram_expr_duck, DECON_NGRAM
+
+    content = "replace(text, '. ', '.')"
+    split_bucket = (
+        f"{_duck_hash60('CAST(doc_id AS VARCHAR)')} % {TRAIN_SPLIT_BUCKETS}"
+    )
+    pack_bucket = (
+        f"{_duck_hash60(chr(39) + 'pack:' + chr(39) + ' || CAST(doc_id AS VARCHAR)')}"
+        f" % {TRAIN_PACK_BUCKETS}"
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, lang, n_chars, text,
+         (length(text) - length(replace(text, '. ', ''))) / 2 AS n_splits
+  FROM documents
+),
+ex AS (
+  SELECT doc_id, lang,
+         CAST(n_chars - n_splits AS BIGINT) AS text_length,
+         {content} AS content,
+         md5({content}) AS content_hash
+  FROM base
+),
+gated AS (
+  SELECT * FROM ex WHERE text_length >= {CURATE_MIN_CHARS}
+),
+curated AS (
+  SELECT doc_id, lang, text_length, content,
+         row_number() OVER (PARTITION BY content_hash ORDER BY doc_id) AS rnk
+  FROM gated
+  QUALIFY rnk = 1
+),
+words AS (
+  SELECT doc_id, lang, text_length, content,
+         list_filter(string_split_regex(lower(regexp_replace(content,
+           '[^a-zA-Z0-9 ]', ' ', 'g')), ' +'), x -> x <> '') AS words
+  FROM curated
+),
+grams AS (
+  SELECT doc_id, lang, text_length, content,
+         list_distinct(list_transform({_gram_expr_duck(DECON_NGRAM)},
+                                      g -> {_duck_hash60('g')})) AS grams
+  FROM words
+),
+eval_grams AS (
+  SELECT DISTINCT unnest(grams) AS g FROM grams WHERE doc_id < {TRAIN_EVAL_DOCS}
+),
+clean AS (
+  SELECT g.* FROM grams g
+  WHERE g.doc_id >= {TRAIN_EVAL_DOCS}
+    AND NOT EXISTS (
+      SELECT 1 FROM eval_grams e WHERE list_contains(g.grams, e.g)
+    )
+),
+routed AS (
+  SELECT doc_id, lang, text_length,
+         CAST(len(string_split_regex(trim(content), '\\s+')) AS BIGINT) AS n_tokens,
+         CASE WHEN {split_bucket} < {TRAIN_VAL_PCT} THEN 'val'
+              WHEN {split_bucket} < {TRAIN_VAL_PCT + TRAIN_TEST_PCT} THEN 'test'
+              ELSE 'train' END AS split,
+         CAST({pack_bucket} AS BIGINT) AS pack_bucket
+  FROM clean
+)
+SELECT doc_id, lang, text_length, n_tokens, split, pack_bucket,
+       CAST(floor((sum(n_tokens) OVER (PARTITION BY split, pack_bucket
+                                       ORDER BY doc_id
+                                       ROWS UNBOUNDED PRECEDING) - n_tokens)
+                  / {TRAIN_PACK_BUDGET}) AS BIGINT) AS seq_id
+FROM routed
+"""
+
+
+QUERIES["build_training_set"] = (build_training_set, _build_training_set_sql())

@@ -231,3 +231,21 @@ def test_ann_wide_is_scan_plus_takeordered(spark, reg):
     plan = _plan(reg["ann_hyperplane_wide_topk"](spark, SF))
     assert "BroadcastNestedLoopJoin" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_extract_and_curate_single_arrow_pass(spark, reg):
+    """The canonical-per-hash pick is a window, not a self-semi-join:
+    the join form physically ran the Arrow extraction stage TWICE
+    (no cross-DAG CSE below Exchange boundaries)."""
+    plan = _plan(reg["extract_and_curate"](spark, SF))
+    assert plan.count("MapInArrow") == 1
+
+
+def test_build_training_set_one_corpus_pass_pruned_eval(spark, reg):
+    """The six-stage pipeline runs exactly TWO Arrow stages: one full
+    corpus pass and one eval-slice pass whose doc_id filter is pushed
+    to the parquet scan (filters cannot cross mapInArrow, so the
+    pruning must sit below it)."""
+    plan = _plan(reg["build_training_set"](spark, SF))
+    assert plan.count("MapInArrow") == 2
+    assert "LessThan(doc_id,20)" in plan.replace(" ", "")
