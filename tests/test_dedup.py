@@ -425,3 +425,15 @@ def test_containment_prefix_filter_is_exact_vs_bruteforce(spark, tmp_path):
     for k in expected:
         assert abs(got[k][0] - expected[k][0]) < 1e-3
         assert abs(got[k][1] - expected[k][1]) < 1e-3
+
+
+def test_simhash_wide_low_word_equals_simhash(spark):
+    """fp_lo of the 64-bit fingerprint is BY CONSTRUCTION the 32-bit
+    simhash (votes over the same first-8-hex-chars md5 hash), so the
+    narrow operator is a strict prefix of the wide one — pin it."""
+    from swift_readability_spark.operators.dedup import simhash, simhash_wide
+
+    sf = "/root/testdata/sf0.001"
+    narrow = {r["doc_id"]: r["simhash"] for r in simhash(spark, sf).collect()}
+    wide = {r["doc_id"]: r["fp_lo"] for r in simhash_wide(spark, sf).collect()}
+    assert narrow == wide
