@@ -36,6 +36,7 @@ DRIVER_WINDOW_FIRST = (
     "decontaminate_against_eval",
     "simhash_wide",
     "simhash_wide_neardup_pairs",
+    "simhash_wide_band_stats",
     "embedding_neardup_pairs_wide",
     "containment_pairs",
     "ann_hyperplane_wide_topk",

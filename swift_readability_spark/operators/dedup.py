@@ -990,6 +990,73 @@ QUERIES["simhash_wide_neardup_pairs"] = (
 )
 
 
+def simhash_wide_band_stats(spark, sf_dir):
+    """The wide-path twin of ``simhash_band_stats`` ("no silent
+    blowups"): per 16-bit band, bucket count, candidate-pair mass and
+    the largest bucket — the dashboard that shows the log2(n) width
+    rule holding (compare ``candidate_pairs`` against the 8-bit audit
+    on the same corpus) and tells an operator when exact dedup must
+    run first."""
+    wide = simhash_wide(spark, sf_dir)
+    bands = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.expr(
+                _wide_band_value_spark(b, SIMHASH_WIDE_BAND_BITS)
+            ).alias("value"),
+        )
+        for b in range(N_SIMHASH_WIDE_BANDS)
+    ]
+    banded = wide.select(
+        "doc_id", F.explode(F.array(*bands)).alias("bb")
+    ).select("doc_id", "bb.band", "bb.value")
+    sizes = banded.groupBy("band", "value").agg(
+        F.countDistinct("doc_id").alias("n")
+    )
+    pair_mass = (F.col("n") * (F.col("n") - 1) / 2).cast("long")
+    return (
+        sizes.groupBy("band")
+        .agg(
+            F.count("*").cast("long").alias("n_buckets"),
+            F.sum(F.when(F.col("n") > 1, pair_mass).otherwise(0))
+            .cast("long")
+            .alias("candidate_pairs"),
+            F.max("n").cast("long").alias("max_bucket"),
+        )
+        .orderBy("band")
+    )
+
+
+def _simhash_wide_band_stats_sql() -> str:
+    mask = (1 << SIMHASH_WIDE_BAND_BITS) - 1
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band,"
+        f" (fp_{'lo' if b < 2 else 'hi'} >> {(b % 2) * SIMHASH_WIDE_BAND_BITS})"
+        f" & {mask} AS value FROM s"
+        for b in range(N_SIMHASH_WIDE_BANDS)
+    )
+    return f"""
+WITH s AS ({_simhash_wide_sql()}),
+bands AS ({bands}),
+sizes AS (
+  SELECT band, value, count(DISTINCT doc_id) AS n FROM bands GROUP BY band, value
+)
+SELECT band,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(sum(CASE WHEN n > 1 THEN n * (n - 1) // 2 ELSE 0 END) AS BIGINT) AS candidate_pairs,
+       CAST(max(n) AS BIGINT) AS max_bucket
+FROM sizes
+GROUP BY band
+ORDER BY band
+"""
+
+
+QUERIES["simhash_wide_band_stats"] = (
+    simhash_wide_band_stats,
+    _simhash_wide_band_stats_sql(),
+)
+
+
 # hyperplane-signature width follows the same log2(n) rule as the
 # Hamming bands: the 8-bit signature in embedding_neardup_pairs is the
 # oracle-checked small-scale config; this 32-bit signature banded into
