@@ -899,6 +899,15 @@ def _wide_band_value_spark(b: int, band_bits: int) -> str:
     )
 
 
+def _wide_band_value_duck(b: int, band_bits: int) -> str:
+    return _wide_band_value(
+        b,
+        band_bits,
+        lambda e, k: f"({e} << {k})",
+        lambda e, k: f"({e} >> {k})",
+    )
+
+
 def simhash_wide_neardup_pairs(spark, sf_dir, band_bits: int = SIMHASH_WIDE_BAND_BITS):
     """The corpus-scale Hamming-band join: 64-bit fingerprint, 4 bands
     of ``band_bits`` (default 16) bits — 2^16 buckets per band instead
@@ -1010,9 +1019,10 @@ def simhash_wide_band_stats(spark, sf_dir):
     banded = wide.select(
         "doc_id", F.explode(F.array(*bands)).alias("bb")
     ).select("doc_id", "bb.band", "bb.value")
-    sizes = banded.groupBy("band", "value").agg(
-        F.countDistinct("doc_id").alias("n")
-    )
+    # (band, value, doc_id) is unique by construction (one fingerprint
+    # row per doc), so plain count == distinct count without the
+    # two-phase distinct aggregation
+    sizes = banded.groupBy("band", "value").agg(F.count("*").alias("n"))
     pair_mass = (F.col("n") * (F.col("n") - 1) / 2).cast("long")
     return (
         sizes.groupBy("band")
@@ -1028,11 +1038,12 @@ def simhash_wide_band_stats(spark, sf_dir):
 
 
 def _simhash_wide_band_stats_sql() -> str:
-    mask = (1 << SIMHASH_WIDE_BAND_BITS) - 1
+    # same straddle-aware band extraction as the Spark side — a
+    # hardcoded 2-bands-per-word layout would silently break for any
+    # band width where 32 % band_bits != 0
     bands = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band,"
-        f" (fp_{'lo' if b < 2 else 'hi'} >> {(b % 2) * SIMHASH_WIDE_BAND_BITS})"
-        f" & {mask} AS value FROM s"
+        f" {_wide_band_value_duck(b, SIMHASH_WIDE_BAND_BITS)} AS value FROM s"
         for b in range(N_SIMHASH_WIDE_BANDS)
     )
     return f"""
@@ -1544,6 +1555,14 @@ def connected_components(edges, max_rounds=MAX_CC_ROUNDS):
         # False), so superseded checkpoints must be released via the
         # SparkContext's persistent-RDD map — otherwise storage grows
         # by one label-table copy per checkpoint until JVM GC.
+        # LIFETIME RULE: a checkpoint is a lineage-truncated recompute
+        # root for every cached round that follows it, so it is only
+        # released AFTER the next checkpoint materializes (see the
+        # loop) — dropping it earlier would make a later cache-block
+        # eviction unrecoverable.  Id attribution assumes this loop is
+        # the only code persisting RDDs on the session while it runs
+        # (true for a batch dedup job; a concurrently-persisting
+        # session could be mis-attributed by the snapshot diff).
         m = sc._jsc.sc().getPersistentRDDs()
         lst = m.toList()
         for i in range(m.size()):
@@ -1591,10 +1610,15 @@ def connected_components(edges, max_rounds=MAX_CC_ROUNDS):
             # hot blocks on a large corpus
             if labels.is_cached:
                 labels.unpersist()
-            elif labels_ckpt_ids:
-                _unpersist_ids(labels_ckpt_ids)
+            if new_ckpt_ids:
+                # a NEW lineage-truncated root now exists and the last
+                # pre-checkpoint cache was just dropped, so no live
+                # plan can recompute through the OLD checkpoint — only
+                # now is it safe to release (see _unpersist_ids rule)
+                if labels_ckpt_ids:
+                    _unpersist_ids(labels_ckpt_ids)
+                labels_ckpt_ids = new_ckpt_ids
             labels = new_labels
-            labels_ckpt_ids = new_ckpt_ids
             if changed == 0:
                 break
     finally:

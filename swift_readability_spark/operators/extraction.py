@@ -266,11 +266,6 @@ QUERIES["extract_and_curate"] = (extract_and_curate, EXTRACT_AND_CURATE_SQL)
 # slice), and every stage stays value-oracled because each is
 # deterministic and closed-form on the constructed corpus.
 TRAIN_EVAL_DOCS = 20  # curated docs with doc_id < this form the eval set
-TRAIN_PACK_BUDGET = 256
-TRAIN_PACK_BUCKETS = 8
-TRAIN_SPLIT_BUCKETS = 100
-TRAIN_VAL_PCT = 5
-TRAIN_TEST_PCT = 5
 
 
 def build_training_set(spark, sf_dir):
@@ -284,11 +279,24 @@ def build_training_set(spark, sf_dir):
     single broadcast row of distinct 60-bit gram hashes, so the
     contamination check is a map-side ``array_intersect`` per doc —
     the corpus subtree is referenced exactly once, no self-join.
-    Split and pack-bucket are pure functions of doc_id; packing is
-    the per-(split, bucket) window cumsum of pack_sequences."""
+    Split and pack-bucket reuse ``dataset_split``'s and
+    ``pack_sequences``'s EXACT hash and constants, so a document keeps
+    the same train/val/test membership and packing stream whether the
+    stages run as this one DAG or as the standalone operators (a
+    different hash here would silently reshuffle former val/test docs
+    into train for users switching between the two)."""
     from pyspark.sql import Window
 
-    from .dedup import DECON_NGRAM, _ngram_lookahead_re, _spark_hash60
+    from .curation import PACK_BUCKETS, PACK_BUDGET
+    from .dedup import (
+        DECON_NGRAM,
+        SPLIT_BUCKETS,
+        TEST_PCT,
+        VAL_PCT,
+        _ngram_lookahead_re,
+        _spark_hash,
+        _spark_hash60,
+    )
 
     norm = (
         "trim(regexp_replace(lower(regexp_replace(content,"
@@ -327,19 +335,18 @@ def build_training_set(spark, sf_dir):
         .filter(F.col("overlap") == 0)
     )
     split_bucket = (
-        f"pmod({_spark_hash60('CAST(doc_id AS STRING)')}, {TRAIN_SPLIT_BUCKETS})"
+        f"pmod({_spark_hash('CAST(doc_id AS STRING)')}, {SPLIT_BUCKETS})"
     )
     pack_bucket = (
-        f"pmod({_spark_hash60(chr(39) + 'pack:' + chr(39) + ' || CAST(doc_id AS STRING)')},"
-        f" {TRAIN_PACK_BUCKETS})"
+        f"pmod({_spark_hash('CAST(doc_id AS STRING)')}, {PACK_BUCKETS})"
     )
     routed = clean.selectExpr(
         "doc_id",
         "lang",
         "text_length",
         "CAST(size(split(trim(content), '\\\\s+')) AS BIGINT) AS n_tokens",
-        f"CASE WHEN {split_bucket} < {TRAIN_VAL_PCT} THEN 'val'"
-        f" WHEN {split_bucket} < {TRAIN_VAL_PCT + TRAIN_TEST_PCT} THEN 'test'"
+        f"CASE WHEN {split_bucket} < {VAL_PCT} THEN 'val'"
+        f" WHEN {split_bucket} < {VAL_PCT + TEST_PCT} THEN 'test'"
         f" ELSE 'train' END AS split",
         f"CAST({pack_bucket} AS BIGINT) AS pack_bucket",
     )
@@ -356,22 +363,30 @@ def build_training_set(spark, sf_dir):
         "n_tokens",
         "split",
         "pack_bucket",
-        F.floor((cum - F.col("n_tokens")) / TRAIN_PACK_BUDGET)
+        F.floor((cum - F.col("n_tokens")) / PACK_BUDGET)
         .cast("bigint")
         .alias("seq_id"),
     )
 
 
 def _build_training_set_sql() -> str:
-    from .dedup import _duck_hash60, _gram_expr_duck, DECON_NGRAM
+    from .curation import PACK_BUCKETS, PACK_BUDGET
+    from .dedup import (
+        DECON_NGRAM,
+        SPLIT_BUCKETS,
+        TEST_PCT,
+        VAL_PCT,
+        _duck_hash,
+        _duck_hash60,
+        _gram_expr_duck,
+    )
 
     content = "replace(text, '. ', '.')"
     split_bucket = (
-        f"{_duck_hash60('CAST(doc_id AS VARCHAR)')} % {TRAIN_SPLIT_BUCKETS}"
+        f"{_duck_hash('CAST(doc_id AS VARCHAR)')} % {SPLIT_BUCKETS}"
     )
     pack_bucket = (
-        f"{_duck_hash60(chr(39) + 'pack:' + chr(39) + ' || CAST(doc_id AS VARCHAR)')}"
-        f" % {TRAIN_PACK_BUCKETS}"
+        f"{_duck_hash('CAST(doc_id AS VARCHAR)')} % {PACK_BUCKETS}"
     )
     return f"""
 WITH base AS (
@@ -420,8 +435,8 @@ clean AS (
 routed AS (
   SELECT doc_id, lang, text_length,
          CAST(len(string_split_regex(trim(content), '\\s+')) AS BIGINT) AS n_tokens,
-         CASE WHEN {split_bucket} < {TRAIN_VAL_PCT} THEN 'val'
-              WHEN {split_bucket} < {TRAIN_VAL_PCT + TRAIN_TEST_PCT} THEN 'test'
+         CASE WHEN {split_bucket} < {VAL_PCT} THEN 'val'
+              WHEN {split_bucket} < {VAL_PCT + TEST_PCT} THEN 'test'
               ELSE 'train' END AS split,
          CAST({pack_bucket} AS BIGINT) AS pack_bucket
   FROM clean
@@ -430,7 +445,7 @@ SELECT doc_id, lang, text_length, n_tokens, split, pack_bucket,
        CAST(floor((sum(n_tokens) OVER (PARTITION BY split, pack_bucket
                                        ORDER BY doc_id
                                        ROWS UNBOUNDED PRECEDING) - n_tokens)
-                  / {TRAIN_PACK_BUDGET}) AS BIGINT) AS seq_id
+                  / {PACK_BUDGET}) AS BIGINT) AS seq_id
 FROM routed
 """
 

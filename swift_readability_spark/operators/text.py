@@ -560,10 +560,9 @@ def tfidf_top_terms(spark, sf_dir):
     word keys are fine because each hot word is ONE row on the df side
     (AQE skew-join splits the tf side if needed).  Final per-doc top-k
     is a window on doc_id — uniformly distributed, no skew."""
-    from .dedup import _SPARK_WORDS  # ONE tokenizer for all word ops
-
     d = read(spark, sf_dir, "documents")
-    words = d.selectExpr("doc_id", f"explode({_SPARK_WORDS}) AS word")
+    # _R_SPARK_WORDS: the module's one shared word tokenizer alias
+    words = d.selectExpr("doc_id", f"explode({_R_SPARK_WORDS}) AS word")
     tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
     df = tf.groupBy("word").agg(F.count("*").alias("df"))
     scored = tf.join(df, "word").withColumn(

@@ -119,3 +119,24 @@ def test_chunk_dedup_stats_agrees_with_paragraph_dedup(spark, reg):
     assert stats.n_removed_occurrences == removed
     assert stats.n_dup_chunks <= stats.n_distinct <= stats.n_occurrences
     assert stats.max_freq > 1  # non-vacuous on the driver corpus
+
+
+def test_build_training_set_split_matches_dataset_split(spark):
+    """build_training_set reuses dataset_split's exact hash/constants:
+    a doc's train/val/test membership must not depend on whether the
+    pipeline ran as one DAG or as the standalone operator (a different
+    hash would silently leak former val/test docs into train)."""
+    from swift_readability_spark.operators.dedup import dataset_split
+    from swift_readability_spark.operators.extraction import build_training_set
+
+    sf = "/root/testdata/sf0.001"
+    standalone = {
+        r["doc_id"]: r["split"] for r in dataset_split(spark, sf).collect()
+    }
+    pipeline = {
+        r["doc_id"]: r["split"]
+        for r in build_training_set(spark, sf).collect()
+    }
+    assert pipeline  # non-vacuous
+    for doc_id, split in pipeline.items():
+        assert standalone[doc_id] == split

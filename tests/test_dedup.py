@@ -412,10 +412,14 @@ def test_containment_prefix_filter_is_exact_vs_bruteforce(spark, tmp_path):
     for i, a in enumerate(ids):
         for b in ids[i + 1 :]:
             common = len(sets[a] & sets[b])
-            ca = round(common / len(sets[a]) + 1e-12, 4)
-            cb = round(common / len(sets[b]) + 1e-12, 4)
-            if ca >= CONTAINMENT_MIN or cb >= CONTAINMENT_MIN:
-                expected[(a, b)] = (ca, cb)
+            na, nb = len(sets[a]), len(sets[b])
+            # the operator's EXACT integer threshold (2*common >= n is
+            # containment >= CONTAINMENT_MIN), not a rounded ratio
+            if 2 * common >= na or 2 * common >= nb:
+                expected[(a, b)] = (
+                    int(common / na * 10000 + 0.5) / 10000,
+                    int(common / nb * 10000 + 0.5) / 10000,
+                )
 
     got = {
         (r["doc_a"], r["doc_b"]): (r["containment_a"], r["containment_b"])
