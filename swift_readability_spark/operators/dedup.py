@@ -328,15 +328,22 @@ def ngram_jaccard_pairs(spark, sf_dir):
             "doc_b",
         )
         .withColumn("common", F.size(F.array_intersect("sa", "sb")))
+        # jaccard >= 0.2  <=>  6*common >= na+nb (exact integers, no
+        # engine-divergent rounding in row membership); floor-based
+        # rounding is output-only (text.py::_r)
+        .filter(
+            6 * F.col("common") >= F.size("sa") + F.size("sb")
+        )
         .withColumn(
             "jaccard",
-            F.round(
+            F.floor(
                 F.col("common")
-                / (F.size("sa") + F.size("sb") - F.col("common")),
-                4,
-            ),
+                / (F.size("sa") + F.size("sb") - F.col("common"))
+                * 10000
+                + 0.5
+            )
+            / 10000,
         )
-        .filter(F.col("jaccard") >= 0.2)
         .select("doc_a", "doc_b", "jaccard")
     )
 
@@ -365,9 +372,9 @@ j AS (
   JOIN sets sb ON sb.doc_id = doc_b
 )
 SELECT doc_a, doc_b,
-       round(common / (na + nb - common), 4) AS jaccard
+       floor(common / (na + nb - common) * 10000 + 0.5) / 10000 AS jaccard
 FROM j
-WHERE round(common / (na + nb - common), 4) >= 0.2
+WHERE 6 * common >= na + nb
 """
 
 
@@ -592,22 +599,21 @@ def embedding_neardup_pairs(spark, sf_dir):
     )
     a = sig.alias("a")
     b = sig.alias("b")
+    # threshold on the RAW cosine (identical IEEE folds in both
+    # engines); floor-based rounding is output-only (text.py::_r)
     return (
         a.join(b, "sig")
         .filter(F.col("a.vec_id") < F.col("b.vec_id"))
         .withColumn(
-            "cosine",
-            F.round(
-                F.expr(dot)
-                / (F.expr(norm.format(side="a")) * F.expr(norm.format(side="b"))),
-                4,
-            ),
+            "cosine_raw",
+            F.expr(dot)
+            / (F.expr(norm.format(side="a")) * F.expr(norm.format(side="b"))),
         )
-        .filter(F.col("cosine") >= NEARDUP_MIN_COSINE)
+        .filter(F.col("cosine_raw") >= NEARDUP_MIN_COSINE)
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            "cosine",
+            (F.floor(F.col("cosine_raw") * 10000 + 0.5) / 10000).alias("cosine"),
         )
     )
 
@@ -629,16 +635,17 @@ e AS (
   FROM (SELECT * FROM base UNION ALL SELECT * FROM planted)
 )
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       round(list_reduce(list_transform(range(1, len(a.emb) + 1),
+       floor(list_reduce(list_transform(range(1, len(a.emb) + 1),
                                         i -> a.emb[i] * b.emb[i]), (x, y) -> x + y)
              / (sqrt(list_reduce(list_transform(a.emb, x -> x * x), (x, y) -> x + y))
-                * sqrt(list_reduce(list_transform(b.emb, x -> x * x), (x, y) -> x + y))), 4)
+                * sqrt(list_reduce(list_transform(b.emb, x -> x * x), (x, y) -> x + y)))
+             * 10000 + 0.5) / 10000
          AS cosine
 FROM e a JOIN e b ON a.sig = b.sig AND a.vec_id < b.vec_id
-WHERE round(list_reduce(list_transform(range(1, len(a.emb) + 1),
-                                       i -> a.emb[i] * b.emb[i]), (x, y) -> x + y)
-            / (sqrt(list_reduce(list_transform(a.emb, x -> x * x), (x, y) -> x + y))
-               * sqrt(list_reduce(list_transform(b.emb, x -> x * x), (x, y) -> x + y))), 4)
+WHERE list_reduce(list_transform(range(1, len(a.emb) + 1),
+                                 i -> a.emb[i] * b.emb[i]), (x, y) -> x + y)
+      / (sqrt(list_reduce(list_transform(a.emb, x -> x * x), (x, y) -> x + y))
+         * sqrt(list_reduce(list_transform(b.emb, x -> x * x), (x, y) -> x + y)))
       >= {NEARDUP_MIN_COSINE}
 """
 
@@ -701,13 +708,19 @@ def mllib_minhash_pairs(spark, sf_dir):
         )
         .distinct()
         .withColumn("common", F.size(F.array_intersect("sa", "sb")))
+        # jaccard >= 0.5  <=>  3*common >= na+nb (exact integers);
+        # output rounding is the portable floor form
+        .filter(3 * F.col("common") >= F.size("sa") + F.size("sb"))
         .withColumn(
             "jaccard",
-            F.round(
-                F.col("common") / (F.size("sa") + F.size("sb") - F.col("common")), 4
-            ),
+            F.floor(
+                F.col("common")
+                / (F.size("sa") + F.size("sb") - F.col("common"))
+                * 10000
+                + 0.5
+            )
+            / 10000,
         )
-        .filter(F.col("jaccard") >= MLLIB_VERIFY_JACCARD)
         .select("doc_a", "doc_b", "jaccard")
     )
 
@@ -727,9 +740,10 @@ j AS (
          len(a.shingles) AS na, len(b.shingles) AS nb
   FROM nonempty a JOIN nonempty b ON a.doc_id < b.doc_id
 )
-SELECT doc_a, doc_b, round(common / (na + nb - common), 4) AS jaccard
+SELECT doc_a, doc_b,
+       floor(common / (na + nb - common) * 10000 + 0.5) / 10000 AS jaccard
 FROM j
-WHERE round(common / (na + nb - common), 4) >= {MLLIB_VERIFY_JACCARD}
+WHERE 3 * common >= na + nb
 """
 
 QUERIES["mllib_minhash_pairs"] = (mllib_minhash_pairs, _MLLIB_SQL)

@@ -39,10 +39,14 @@ def ann_bruteforce_topk(spark, sf_dir):
     return (
         e.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != QUERY_VEC_ID)
-        .withColumn("cosine", F.round(cos, 4))
-        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .withColumn("cosine_raw", cos)
+        .orderBy(F.desc("cosine_raw"), F.asc("vec_id"))
         .limit(TOP_K)
-        .select("vec_id", "label", "cosine")
+        .select(
+            "vec_id",
+            "label",
+            (F.floor(F.col("cosine_raw") * 10000 + 0.5) / 10000).alias("cosine"),
+        )
     )
 
 
@@ -56,11 +60,14 @@ ANN_BRUTE_SQL = f"""
 WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
 q AS (SELECT emb AS qvec FROM e WHERE vec_id = {QUERY_VEC_ID})
 SELECT vec_id, label,
-       round({_D_DOT.format(a='emb', b='qvec')}
-             / ({_D_NORM.format(v='emb')} * {_D_NORM.format(v='qvec')}), 4) AS cosine
+       floor({_D_DOT.format(a='emb', b='qvec')}
+             / ({_D_NORM.format(v='emb')} * {_D_NORM.format(v='qvec')})
+             * 10000 + 0.5) / 10000 AS cosine
 FROM e, q
 WHERE vec_id != {QUERY_VEC_ID}
-ORDER BY cosine DESC, vec_id ASC
+ORDER BY {_D_DOT.format(a='emb', b='qvec')}
+         / ({_D_NORM.format(v='emb')} * {_D_NORM.format(v='qvec')}) DESC,
+         vec_id ASC
 LIMIT {TOP_K}
 """
 
@@ -147,10 +154,14 @@ def ann_ivf_topk(spark, sf_dir):
         e.join(F.broadcast(best_label), "label")
         .crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != QUERY_VEC_ID)
-        .withColumn("cosine", F.round(cos, 4))
-        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .withColumn("cosine_raw", cos)
+        .orderBy(F.desc("cosine_raw"), F.asc("vec_id"))
         .limit(TOP_K)
-        .select("vec_id", "label", "cosine")
+        .select(
+            "vec_id",
+            "label",
+            (F.floor(F.col("cosine_raw") * 10000 + 0.5) / 10000).alias("cosine"),
+        )
     )
 
 
@@ -174,11 +185,14 @@ best AS (
   LIMIT {N_PROBES}
 )
 SELECT vec_id, e.label AS label,
-       round({_D_DOT.format(a='emb', b='qvec')}
-             / ({_D_NORM.format(v='emb')} * {_D_NORM.format(v='qvec')}), 4) AS cosine
+       floor({_D_DOT.format(a='emb', b='qvec')}
+             / ({_D_NORM.format(v='emb')} * {_D_NORM.format(v='qvec')})
+             * 10000 + 0.5) / 10000 AS cosine
 FROM e JOIN best ON e.label = best.label, q
 WHERE vec_id != {QUERY_VEC_ID}
-ORDER BY cosine DESC, vec_id ASC
+ORDER BY {_D_DOT.format(a='emb', b='qvec')}
+         / ({_D_NORM.format(v='emb')} * {_D_NORM.format(v='qvec')}) DESC,
+         vec_id ASC
 LIMIT {TOP_K}
 """
 
@@ -272,10 +286,14 @@ def ann_ivf_refined_topk(spark, sf_dir):
         assigned.join(F.broadcast(best_cells), "cell")
         .crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != QUERY_VEC_ID)
-        .withColumn("cosine", F.round(cos, 4))
-        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .withColumn("cosine_raw", cos)
+        .orderBy(F.desc("cosine_raw"), F.asc("vec_id"))
         .limit(TOP_K)
-        .select("vec_id", "label", "cosine")
+        .select(
+            "vec_id",
+            "label",
+            (F.floor(F.col("cosine_raw") * 10000 + 0.5) / 10000).alias("cosine"),
+        )
     )
 
 
@@ -330,11 +348,14 @@ best AS (
   LIMIT {N_PROBES_REFINED}
 )
 SELECT a2.vec_id AS vec_id, a2.label AS label,
-       round({_D_DOT.format(a='a2.emb', b='qvec')}
-             / ({_D_NORM.format(v='a2.emb')} * {_D_NORM.format(v='qvec')}), 4) AS cosine
+       floor({_D_DOT.format(a='a2.emb', b='qvec')}
+             / ({_D_NORM.format(v='a2.emb')} * {_D_NORM.format(v='qvec')})
+             * 10000 + 0.5) / 10000 AS cosine
 FROM a2 JOIN best USING (cell), q
 WHERE a2.vec_id != {QUERY_VEC_ID}
-ORDER BY cosine DESC, vec_id ASC
+ORDER BY {_D_DOT.format(a='a2.emb', b='qvec')}
+         / ({_D_NORM.format(v='a2.emb')} * {_D_NORM.format(v='qvec')}) DESC,
+         vec_id ASC
 LIMIT {TOP_K}
 """
 
@@ -421,10 +442,14 @@ def ann_hyperplane_topk(spark, sf_dir):
         sig.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != QUERY_VEC_ID)
         .filter(F.expr(f"bit_count(sig ^ qsig) <= {HAMMING_PROBE}"))
-        .withColumn("cosine", F.round(cos, 4))
-        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .withColumn("cosine_raw", cos)
+        .orderBy(F.desc("cosine_raw"), F.asc("vec_id"))
         .limit(TOP_K)
-        .select("vec_id", "label", "cosine")
+        .select(
+            "vec_id",
+            "label",
+            (F.floor(F.col("cosine_raw") * 10000 + 0.5) / 10000).alias("cosine"),
+        )
     )
 
 
@@ -441,10 +466,13 @@ cand AS (
     AND bit_count(CAST(xor(e.sig, q.qsig) AS BIT)) <= {{P}}
 )
 SELECT vec_id, label,
-       round({_D_DOT.format(a='emb', b='qvec')}
-             / ({_D_NORM.format(v='emb')} * {_D_NORM.format(v='qvec')}), 4) AS cosine
+       floor({_D_DOT.format(a='emb', b='qvec')}
+             / ({_D_NORM.format(v='emb')} * {_D_NORM.format(v='qvec')})
+             * 10000 + 0.5) / 10000 AS cosine
 FROM cand, q
-ORDER BY cosine DESC, vec_id ASC
+ORDER BY {_D_DOT.format(a='emb', b='qvec')}
+         / ({_D_NORM.format(v='emb')} * {_D_NORM.format(v='qvec')}) DESC,
+         vec_id ASC
 LIMIT {{K}}
 """.replace("{Q}", str(QUERY_VEC_ID)).replace("{P}", str(HAMMING_PROBE)).replace("{K}", str(TOP_K))
 
