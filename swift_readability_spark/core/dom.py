@@ -119,46 +119,42 @@ def journal_stop() -> None:
     _journal = None
 
 
-def journal_replay(journal: list, doc: "Document") -> None:
-    """Restore the pristine state recorded by ``journal``.
-
-    Reverse-order undo restores the exact tree (each op's undo runs
-    with the surrounding state identical to the moment the op was
-    recorded); then removals whose node does not live under <body> in
-    the pristine tree are re-applied, because the canonical restore
-    only resets body.innerHTML.  Call with the journal inactive."""
-    assert _journal is None, "journal must be stopped before replay"
-    for op in reversed(journal):
-        k = op[0]
-        if k == 0:
-            _, node, parent, idx = op
-            parent.children.insert(idx, node)
-            node.parent = parent
-            node._idx = idx
-        elif k == 1:
-            _, node, parent = op
-            del parent.children[node._sib_index()]
-            node.parent = None
-            node._idx = None
-        elif k == 2:
-            _, el, name, old = op
-            if old is _MISSING:
-                el.attrs.pop(name, None)
-            else:
-                el.attrs[name] = old
-        elif k == 3:
-            _, el, name, old, idx = op
-            items = list(el.attrs.items())
-            items.insert(idx, (name, old))
-            el.attrs = dict(items)
-        elif k == 4:
-            op[1].tag = op[2]
-        elif k == 5:
-            op[1].readability = None
+def _undo_op(op) -> None:
+    """Undo ONE journal entry (shared by the hot replay loop and the
+    exception-salvage path)."""
+    k = op[0]
+    if k == 0:
+        _, node, parent, idx = op
+        parent.children.insert(idx, node)
+        node.parent = parent
+        node._idx = idx
+    elif k == 1:
+        _, node, parent = op
+        del parent.children[node._sib_index()]
+        node.parent = None
+        node._idx = None
+    elif k == 2:
+        _, el, name, old = op
+        if old is _MISSING:
+            el.attrs.pop(name, None)
         else:
-            op[1]._data_table = None
-    # canonical restores only body.innerHTML: re-apply removals of
-    # nodes that do not sit under <body> in the pristine tree
+            el.attrs[name] = old
+    elif k == 3:
+        _, el, name, old, idx = op
+        items = list(el.attrs.items())
+        items.insert(idx, (name, old))
+        el.attrs = dict(items)
+    elif k == 4:
+        op[1].tag = op[2]
+    elif k == 5:
+        op[1].readability = None
+    else:
+        op[1]._data_table = None
+
+
+def _post_replay(journal: list, doc: "Document") -> None:
+    """After the undo pass: re-apply removals outside <body> (canonical
+    restores only body.innerHTML) and drop every stale cache."""
     for op in journal:
         if op[0] == 0:
             node = op[1]
@@ -172,6 +168,42 @@ def journal_replay(journal: list, doc: "Document") -> None:
     for n in doc.iter_subtree():
         if n.IS_ELEMENT:
             n._c_valid = False
+
+
+def journal_replay(journal: list, doc: "Document") -> None:
+    """Restore the pristine state recorded by ``journal``.
+
+    Reverse-order undo restores the exact tree (each op's undo runs
+    with the surrounding state identical to the moment the op was
+    recorded); then removals whose node does not live under <body> in
+    the pristine tree are re-applied, because the canonical restore
+    only resets body.innerHTML.  Call with the journal inactive.
+
+    Exception-safe (ADVICE r04): an asynchronous exception landing
+    mid-undo (KeyboardInterrupt, MemoryError — the ops themselves are
+    pure in-memory list/dict moves) salvages the replay by running the
+    REMAINING undos and the post-replay repair before re-raising, so a
+    caller that catches the exception sees the most-restored tree
+    possible rather than a half-replayed one (the op that was
+    interrupted mid-undo is the only possible casualty)."""
+    assert _journal is None, "journal must be stopped before replay"
+    rev = journal[::-1]
+    i = 0
+    try:
+        for i, op in enumerate(rev):
+            _undo_op(op)
+    except BaseException:
+        for op in rev[i + 1:]:
+            try:
+                _undo_op(op)
+            except BaseException:
+                pass
+        try:
+            _post_replay(journal, doc)
+        except BaseException:
+            pass
+        raise
+    _post_replay(journal, doc)
 
 
 def _invalidate_ancestors(node: "Node | None") -> None:

@@ -269,7 +269,14 @@ class Grabber:
         except BaseException:
             # mid-attempt failure: replay the active journal before
             # propagating, so a caller that catches the exception and
-            # reuses the document never sees a half-mutated tree
+            # reuses the document never sees a half-mutated tree.
+            # Inter-attempt windows are covered too (ADVICE r04): after
+            # journal_stop the tree is either already pristine (the
+            # flag-relax / attempts.sort block runs post-replay) or
+            # journal_replay itself raised — and that function salvages
+            # its remaining undos internally before re-raising, so
+            # _journal is None here exactly when no further restore is
+            # needed or possible.
             journal = _dom._journal
             _dom.journal_stop()
             if journal is not None:

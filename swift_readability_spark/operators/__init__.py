@@ -13,25 +13,53 @@ from . import curation, dedup, extraction, multimodal, relational, similarity, t
 ALL_MODULES = (relational, text, dedup, similarity, curation, multimodal, extraction)
 
 # The driver's correctness check samples the FIRST 50 registry entries.
-# Entries here are the ones with no driver-green CORRECTNESS row yet
-# (r03 sampled the first 50 of the old ordering, leaving these 20 with
-# local-only evidence) — they go first so CORRECTNESS_r04 covers them;
-# the long-driver-green relational/text/dedup queries move past the cap
-# and stay pinned by scripts/validate_oracles.py full sweeps.
+# Window re-derived for r05 (VERDICT r04 item 3): with CORRECTNESS_r04
+# every query has a driver row, so the window now holds (a) the one
+# red row (corpus_report — hardened this round, first per the VERDICT
+# demand), (b) the NEW query (containment_stats), (c) every query the
+# round-5 exact-arithmetic sweep CHANGED (new values/columns/plans need
+# fresh driver evidence under the driver's partitioning — the exact
+# environment that flaked corpus_report), then (d) flagships for
+# continuity.  Everything past the cap has a prior driver-green row and
+# stays pinned by scripts/validate_oracles.py full sweeps.
 DRIVER_WINDOW_FIRST = (
+    # (a) the r04 red row, fixed
+    "corpus_report",
+    # (b) new in r05
+    "containment_stats",
+    # (c) round-5 exact-arithmetic sweep / changed queries
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_nation_revenue",
+    "big_spender_customers",
+    "events_daily_by_type",
+    "running_user_value",
+    "part_type_stats",
+    "events_rollup",
+    "events_cube",
+    "events_range_join_buckets",
+    "events_windowed_counts",
+    "sessionize_events",
+    "order_price_stats",
+    "customer_value_correlation",
+    "readerable_score",
+    "token_set_similarity",
+    "ivf_centroids",
+    "ann_ivf_topk",
+    "ann_ivf_refined_topk",
+    "tfidf_top_terms",
+    "stratified_sample",
+    "dedup_clusters",
+    # (d) flagship continuity
     "extract_metadata",
     "extract_spans_stats",
     "extract_and_curate",
     "build_training_set",
     "paragraph_dedup",
     "chunk_dedup_stats",
-    "stratified_sample",
-    "tfidf_top_terms",
     "pack_sequences",
     "mixture_sample",
-    "corpus_report",
     "knn_join",
-    "dedup_clusters",
     "dataset_split",
     "decontaminate_against_eval",
     "simhash_wide",
@@ -41,9 +69,6 @@ DRIVER_WINDOW_FIRST = (
     "containment_pairs",
     "ann_hyperplane_wide_topk",
     "ann_bruteforce_topk",
-    "ivf_centroids",
-    "ann_ivf_topk",
-    "ann_ivf_refined_topk",
     "ann_hyperplane_topk",
     "payload_features",
     "media_decode_stub",

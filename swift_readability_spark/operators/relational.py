@@ -12,37 +12,73 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .common import read
+from .common import duck_sum128, exact_scaled_int, fround, read, spark_sum128
+
+# Exact scaled-integer readings of the 2-dp money/value columns
+# (operators/common.py: the exact-arithmetic aggregation discipline —
+# no partition-order-dependent float aggregate feeds any output or
+# filter in this module).
+_QTY_C = exact_scaled_int("l_quantity")  # hundredths of a unit
+_PRICE_C = exact_scaled_int("l_extendedprice")  # cents
+_DISC_C = exact_scaled_int("l_discount")  # hundredths (0..10)
+_TOTALPRICE_C = exact_scaled_int("o_totalprice")  # cents
+_VALUE_C = exact_scaled_int("value")  # cents
+_RETAIL_C = exact_scaled_int("p_retailprice")  # cents
+_BAL_C = exact_scaled_int("c_acctbal")  # cents
+# l_extendedprice * (1 - l_discount) in exact 1e-4-dollar units:
+# cents * (100 - discount-hundredths), an int64 per row (<= ~1e9).
+_DISC_PRICE_E4 = f"({_PRICE_C}) * (100 - {_DISC_C})"
 
 
 def q1_pricing_summary(spark, sf_dir):
     """TPC-H Q1 shape: wide hash aggregation with partial/final stages
-    (the reference's score-aggregation analogue at corpus scale)."""
+    (the reference's score-aggregation analogue at corpus scale).
+
+    Money aggregates follow the exact-arithmetic discipline
+    (operators/common.py): scan-level exact cents, 128-bit integer
+    sums (map-side partial agg unchanged), one identical IEEE double
+    expression per output, floor-rounding last."""
     l = read(spark, sf_dir, "lineitem")
+    s_qty = spark_sum128(_QTY_C)
+    s_price = spark_sum128(_PRICE_C)
+    s_disc_price = spark_sum128(_DISC_PRICE_E4)
+    s_disc = spark_sum128(_DISC_C)
     return (
         l.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            F.expr(f"CAST({s_qty} AS DOUBLE) / 100.0").alias("sum_qty"),
+            F.expr(f"CAST({s_price} AS DOUBLE) / 100.0").alias("sum_base_price"),
+            F.expr(
+                fround(f"CAST({s_disc_price} AS DOUBLE) / 10000.0", 2)
             ).alias("sum_disc_price"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.expr(
+                fround(
+                    f"CAST({s_qty} AS DOUBLE)"
+                    " / CAST(count(l_quantity) AS DOUBLE) / 100.0",
+                    4,
+                )
+            ).alias("avg_qty"),
+            F.expr(
+                fround(
+                    f"CAST({s_disc} AS DOUBLE)"
+                    " / CAST(count(l_discount) AS DOUBLE) / 100.0",
+                    4,
+                )
+            ).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
 
 
-Q1_SQL = """
+Q1_SQL = f"""
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2)                              AS sum_qty,
-       round(sum(l_extendedprice), 2)                         AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2)      AS sum_disc_price,
-       round(avg(l_quantity), 4)                              AS avg_qty,
-       round(avg(l_discount), 4)                              AS avg_disc,
-       count(*)                                               AS count_order
+       CAST({duck_sum128(_QTY_C)} AS DOUBLE) / 100.0 AS sum_qty,
+       CAST({duck_sum128(_PRICE_C)} AS DOUBLE) / 100.0 AS sum_base_price,
+       {fround(f"CAST({duck_sum128(_DISC_PRICE_E4)} AS DOUBLE) / 10000.0", 2)} AS sum_disc_price,
+       {fround(f"CAST({duck_sum128(_QTY_C)} AS DOUBLE) / CAST(count(l_quantity) AS DOUBLE) / 100.0", 4)} AS avg_qty,
+       {fround(f"CAST({duck_sum128(_DISC_C)} AS DOUBLE) / CAST(count(l_discount) AS DOUBLE) / 100.0", 4)} AS avg_disc,
+       count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
 GROUP BY l_returnflag, l_linestatus
@@ -50,7 +86,10 @@ GROUP BY l_returnflag, l_linestatus
 
 
 def q3_shipping_priority(spark, sf_dir):
-    """Join + aggregate + deterministic top-10 (sort/limit)."""
+    """Join + aggregate + deterministic top-10 (sort/limit).  The
+    top-10 orders on the EXACT integer revenue (1e-4-dollar units) —
+    membership can't flake on a float-sum boundary; the dollar double
+    is derived for output only."""
     c = read(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = read(spark, sf_dir, "orders")
     l = read(spark, sf_dir, "lineitem")
@@ -58,25 +97,25 @@ def q3_shipping_priority(spark, sf_dir):
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
-        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .agg(F.expr(spark_sum128(_DISC_PRICE_E4)).alias("_rev_e4"))
+        .orderBy(F.desc("_rev_e4"), F.asc("l_orderkey"))
         .limit(10)
+        .selectExpr(
+            "l_orderkey",
+            fround("CAST(_rev_e4 AS DOUBLE) / 10000.0", 2) + " AS revenue",
+        )
     )
 
 
-Q3_SQL = """
+Q3_SQL = f"""
 SELECT l_orderkey,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       {fround(f"CAST({duck_sum128(_DISC_PRICE_E4)} AS DOUBLE) / 10000.0", 2)} AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
 WHERE c_mktsegment = 'BUILDING'
 GROUP BY l_orderkey
-ORDER BY revenue DESC, l_orderkey ASC
+ORDER BY {duck_sum128(_DISC_PRICE_E4)} DESC, l_orderkey ASC
 LIMIT 10
 """
 
@@ -94,17 +133,19 @@ def q5_nation_revenue(spark, sf_dir):
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name", "n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            F.expr(
+                fround(
+                    f"CAST({spark_sum128(_DISC_PRICE_E4)} AS DOUBLE) / 10000.0", 2
+                )
             ).alias("revenue"),
             F.count("*").alias("line_count"),
         )
     )
 
 
-Q5_SQL = """
+Q5_SQL = f"""
 SELECT r_name, n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       {fround(f"CAST({duck_sum128(_DISC_PRICE_E4)} AS DOUBLE) / 10000.0", 2)} AS revenue,
        count(*) AS line_count
 FROM lineitem
 JOIN supplier ON l_suppkey = s_suppkey
@@ -156,11 +197,16 @@ WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 
 
 def big_spender_customers(spark, sf_dir):
-    """Semi-join + aggregate subquery."""
+    """Semi-join + aggregate subquery.  The HAVING threshold compares
+    EXACT integer cents (a float sum straddling $300000 within an ulp
+    is a row-membership flake — the class CORRECTNESS_r04 caught in
+    corpus_report)."""
     c = read(spark, sf_dir, "customer")
     o = read(spark, sf_dir, "orders")
-    big = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("spend")).filter(
-        F.col("spend") > 300000
+    big = (
+        o.groupBy("o_custkey")
+        .agg(F.expr(spark_sum128(_TOTALPRICE_C)).alias("_spend_c"))
+        .filter(F.col("_spend_c") > 300000 * 100)
     )
     return (
         c.join(big, c.c_custkey == big.o_custkey, "left_semi")
@@ -168,11 +214,12 @@ def big_spender_customers(spark, sf_dir):
     )
 
 
-SEMI_SQL = """
+SEMI_SQL = f"""
 SELECT c_custkey, c_mktsegment
 FROM customer
 WHERE c_custkey IN (
-  SELECT o_custkey FROM orders GROUP BY o_custkey HAVING sum(o_totalprice) > 300000
+  SELECT o_custkey FROM orders GROUP BY o_custkey
+  HAVING {duck_sum128(_TOTALPRICE_C)} > 30000000
 )
 """
 
@@ -188,40 +235,46 @@ def events_daily_by_type(spark, sf_dir):
         )
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            F.expr(
+                f"CAST({spark_sum128(_VALUE_C)} AS DOUBLE) / 100.0"
+            ).alias("total_value"),
         )
     )
 
 
-EVENTS_DAILY_SQL = """
+EVENTS_DAILY_SQL = f"""
 SELECT CAST(ts AS DATE) AS day, event_type,
        count(*) AS n_events,
-       round(sum(value), 2) AS total_value
+       CAST({duck_sum128(_VALUE_C)} AS DOUBLE) / 100.0 AS total_value
 FROM events
 GROUP BY 1, 2
 """
 
 
 def running_user_value(spark, sf_dir):
-    """Ordered running aggregate per user (window frame)."""
+    """Ordered running aggregate per user (window frame).  The running
+    sum accumulates EXACT integer cents: even with a deterministic
+    frame order, engines associate float partial sums differently
+    (DuckDB's segment tree vs Spark's sequential accumulate) — integer
+    sums are associative, so the twin is exact.  Per-user int64
+    headroom is $9.2e16 cumulative."""
     e = read(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    win = (
+        "PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
     )
-    return e.select(
+    return e.selectExpr(
         "user_id",
         "event_id",
-        F.round(F.sum("value").over(w), 2).alias("running_value"),
+        f"CAST(sum({_VALUE_C}) OVER ({win}) AS DOUBLE) / 100.0 AS running_value",
     )
 
 
-RUNNING_SQL = """
+RUNNING_SQL = f"""
 SELECT user_id, event_id,
-       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
-       AS running_value
+       CAST(sum({_VALUE_C}) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DOUBLE) / 100.0 AS running_value
 FROM events
 """
 
@@ -243,16 +296,22 @@ def part_type_stats(spark, sf_dir):
         p.groupBy("p_brand")
         .agg(
             F.count("*").alias("n_parts"),
-            F.round(F.avg("p_retailprice"), 2).alias("avg_price"),
+            F.expr(
+                fround(
+                    f"CAST({spark_sum128(_RETAIL_C)} AS DOUBLE)"
+                    " / CAST(count(p_retailprice) AS DOUBLE) / 100.0",
+                    2,
+                )
+            ).alias("avg_price"),
             F.max("p_size").alias("max_size"),
         )
         .filter(F.col("n_parts") > 5)
     )
 
 
-PART_SQL = """
+PART_SQL = f"""
 SELECT p_brand, count(*) AS n_parts,
-       round(avg(p_retailprice), 2) AS avg_price,
+       {fround(f"CAST({duck_sum128(_RETAIL_C)} AS DOUBLE) / CAST(count(p_retailprice) AS DOUBLE) / 100.0", 2)} AS avg_price,
        max(p_size) AS max_size
 FROM part
 GROUP BY p_brand
@@ -298,7 +357,9 @@ def events_rollup(spark, sf_dir):
         e.rollup("event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            F.expr(
+                f"CAST({spark_sum128(_VALUE_C)} AS DOUBLE) / 100.0"
+            ).alias("total_value"),
         )
         .select(
             F.coalesce(F.col("event_type"), F.lit("ALL")).alias("event_type"),
@@ -308,10 +369,10 @@ def events_rollup(spark, sf_dir):
     )
 
 
-EVENTS_ROLLUP_SQL = """
+EVENTS_ROLLUP_SQL = f"""
 SELECT coalesce(event_type, 'ALL') AS event_type,
        count(*) AS n_events,
-       round(sum(value), 2) AS total_value
+       CAST({duck_sum128(_VALUE_C)} AS DOUBLE) / 100.0 AS total_value
 FROM events
 GROUP BY ROLLUP (event_type)
 """
@@ -328,7 +389,12 @@ def events_cube(spark, sf_dir):
     )
     return (
         base.cube("event_type", "weekday")
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.expr(
+                f"CAST({spark_sum128(_VALUE_C)} AS DOUBLE) / 100.0"
+            ).alias("total_value"),
+        )
         .select(
             F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
             F.coalesce(F.col("weekday").cast("bigint"), F.lit(-1)).alias("weekday"),
@@ -338,11 +404,11 @@ def events_cube(spark, sf_dir):
     )
 
 
-EVENTS_CUBE_SQL = """
+EVENTS_CUBE_SQL = f"""
 SELECT coalesce(event_type, 'ALL') AS event_type,
        coalesce(CAST(dayofweek(ts) + 1 AS BIGINT), -1) AS weekday,
        count(*) AS n_events,
-       round(sum(value), 2) AS total_value
+       CAST({duck_sum128(_VALUE_C)} AS DOUBLE) / 100.0 AS total_value
 FROM events
 GROUP BY CUBE (event_type, dayofweek(ts))
 """
@@ -417,7 +483,7 @@ def sessionize_events(spark, sf_dir):
     return sessionize_batch(read(spark, sf_dir, "events"))
 
 
-SESSIONIZE_SQL = """
+SESSIONIZE_SQL = f"""
 WITH g AS (
   SELECT user_id, ts, value,
          CASE WHEN epoch(ts) - lag(epoch(ts), 1, -1000000000000)
@@ -434,7 +500,7 @@ SELECT user_id,
        min(ts) AS session_start,
        max(ts) AS session_end,
        count(*) AS n_events,
-       round(sum(value), 2) AS total_value
+       CAST({duck_sum128(_VALUE_C)} AS DOUBLE) / 100.0 AS total_value
 FROM s
 GROUP BY user_id, session_id
 """
@@ -490,6 +556,11 @@ def q18_large_volume_customers(spark, sf_dir):
     c = read(spark, sf_dir, "customer")
     big_orders = (
         l.groupBy("l_orderkey")
+        # float sum is EXACT here: quantities are integer-valued
+        # doubles (1..50), and integer-valued double addition never
+        # rounds below 2^53 — order-independent, so the HAVING
+        # threshold can't flake (audited in the r05 exact-arithmetic
+        # sweep; the money sums in this module all converted to cents)
         .agg(F.sum("l_quantity").alias("total_qty"))
         .filter(F.col("total_qty") > 150)
     )
@@ -600,15 +671,21 @@ def events_range_join_buckets(spark, sf_dir):
             (e.value >= buckets.lo) & (e.value < buckets.hi),
         )
         .groupBy("bucket_id")
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.expr(
+                f"CAST({spark_sum128(_VALUE_C)} AS DOUBLE) / 100.0"
+            ).alias("total_value"),
+        )
     )
 
 
-RANGE_JOIN_SQL = """
+RANGE_JOIN_SQL = f"""
 WITH buckets(bucket_id, lo, hi) AS (
   VALUES (0, 0.0, 100.0), (1, 100.0, 300.0), (2, 300.0, 700.0), (3, 700.0, 10e9)
 )
-SELECT bucket_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+SELECT bucket_id, count(*) AS n_events,
+       CAST({duck_sum128(_VALUE_C)} AS DOUBLE) / 100.0 AS total_value
 FROM events JOIN buckets ON value >= lo AND value < hi
 GROUP BY bucket_id
 """
@@ -629,7 +706,9 @@ def events_windowed_counts(spark, sf_dir):
         e.groupBy(w.alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            F.expr(
+                f"CAST({spark_sum128(_VALUE_C)} AS DOUBLE) / 100.0"
+            ).alias("total_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -645,12 +724,12 @@ def events_windowed_counts(spark, sf_dir):
 # DuckDB's to_timestamp() returns TIMESTAMP WITH TIME ZONE while Spark's
 # window() emits naive TimestampType — CAST to naive TIMESTAMP so the
 # driver's schema comparison matches (VERDICT r02 item 1).
-WINDOWED_SQL = """
+WINDOWED_SQL = f"""
 SELECT CAST(to_timestamp(CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT)) AS TIMESTAMP) AS window_start,
        CAST(to_timestamp(CAST(floor(epoch(ts) / 21600) * 21600 + 21600 AS BIGINT)) AS TIMESTAMP) AS window_end,
        event_type,
        count(*) AS n_events,
-       round(sum(value), 2) AS total_value
+       CAST({duck_sum128(_VALUE_C)} AS DOUBLE) / 100.0 AS total_value
 FROM events
 GROUP BY 1, 2, 3
 """
@@ -658,68 +737,218 @@ GROUP BY 1, 2, 3
 QUERIES["events_windowed_counts"] = (events_windowed_counts, WINDOWED_SQL)
 
 
+# Exact interpolated percentile, spelled out so BOTH engines run the
+# IDENTICAL IEEE op sequence: built-in percentile()/quantile_cont()
+# interpolate with engine-specific formulas (lo*(hi-rank)+hi*(rank-lo)
+# vs lo+(hi-lo)*frac — last-ulp divergence feeding a rounder).  rank =
+# (n-1)*p; the two neighbouring order statistics come from row_number.
+_PCT_P = {"median_price": "0.5", "p90_price": "0.9"}
+
+
+def _pct_lo_idx(p: str) -> str:
+    return f"CAST(floor(CAST(n - 1 AS DOUBLE) * {p}) AS BIGINT)"
+
+
+def _pct_out(tag: str) -> str:
+    p = _PCT_P[tag]
+    frac = (
+        f"(CAST(n_orders - 1 AS DOUBLE) * {p}"
+        f" - CAST(CAST(floor(CAST(n_orders - 1 AS DOUBLE) * {p}) AS BIGINT) AS DOUBLE))"
+    )
+    lo = f"CAST(_{tag}_lo AS DOUBLE)"
+    hi = f"CAST(_{tag}_hi AS DOUBLE)"
+    return fround(f"({lo} + ({hi} - {lo}) * {frac}) / 100.0", 2) + f" AS {tag}"
+
+
+_STDDEV_OUT = (
+    fround(
+        "sqrt((CAST(_s2 AS DOUBLE)"
+        " - CAST(_s1 AS DOUBLE) * CAST(_s1 AS DOUBLE) / CAST(n_orders AS DOUBLE))"
+        " / CAST(n_orders - 1 AS DOUBLE)) / 100.0",
+        2,
+    )
+    + " AS stddev_price"
+)
+_AVG_PRICE_OUT = (
+    fround("CAST(_s1 AS DOUBLE) / CAST(n_orders AS DOUBLE) / 100.0", 2)
+    + " AS avg_price"
+)
+
+
 def order_price_stats(spark, sf_dir):
-    """Exact statistical aggregates per order priority: EXACT
-    percentiles (percentile(), not approx_percentile — bit-matching a
-    closed-form oracle; on a real cluster switch to approx_percentile
-    for one-pass sketching when exactness isn't contractual),
-    sample stddev, mean."""
+    """Exact statistical aggregates per order priority — mean, sample
+    stddev, exact interpolated percentiles (p50/p90) — all derived
+    from exact integer-cents aggregates (sum and sum-of-squares in
+    128-bit; order statistics picked by row_number), with one
+    identical IEEE expression per output in both engines
+    (operators/common.py discipline).  On a real cluster swap the
+    percentiles to approx_percentile when exactness isn't contractual;
+    the moment-based mean/stddev shape is already one-pass."""
     o = read(spark, sf_dir, "orders")
+    ranked = o.selectExpr(
+        "o_orderpriority",
+        f"{_TOTALPRICE_C} AS price_c",
+        "CAST(row_number() OVER (PARTITION BY o_orderpriority"
+        " ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS rn",
+        "CAST(count(*) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS n",
+    )
+    aggs = [
+        F.count("*").alias("n_orders"),
+        F.expr(spark_sum128("price_c")).alias("_s1"),
+        F.expr(spark_sum128("price_c * price_c")).alias("_s2"),
+    ]
+    for tag, p in _PCT_P.items():
+        lo_idx = _pct_lo_idx(p)
+        aggs.append(
+            F.expr(
+                f"max(CASE WHEN rn = {lo_idx} + 1 THEN price_c END)"
+            ).alias(f"_{tag}_lo")
+        )
+        aggs.append(
+            F.expr(
+                f"max(CASE WHEN rn = least({lo_idx} + 2, n) THEN price_c END)"
+            ).alias(f"_{tag}_hi")
+        )
     return (
-        o.groupBy("o_orderpriority")
-        .agg(
-            F.count("*").alias("n_orders"),
-            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
-            F.round(F.stddev_samp("o_totalprice"), 2).alias("stddev_price"),
-            F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("median_price"),
-            F.round(F.expr("percentile(o_totalprice, 0.9)"), 2).alias("p90_price"),
+        ranked.groupBy("o_orderpriority")
+        .agg(*aggs)
+        .selectExpr(
+            "o_orderpriority",
+            "n_orders",
+            _AVG_PRICE_OUT,
+            _STDDEV_OUT,
+            _pct_out("median_price"),
+            _pct_out("p90_price"),
         )
     )
 
 
-ORDER_PRICE_STATS_SQL = """
-SELECT o_orderpriority,
-       count(*) AS n_orders,
-       round(avg(o_totalprice), 2) AS avg_price,
-       round(stddev_samp(o_totalprice), 2) AS stddev_price,
-       round(quantile_cont(o_totalprice, 0.5), 2) AS median_price,
-       round(quantile_cont(o_totalprice, 0.9), 2) AS p90_price
-FROM orders
-GROUP BY o_orderpriority
+ORDER_PRICE_STATS_SQL = f"""
+WITH ranked AS (
+  SELECT o_orderpriority,
+         {_TOTALPRICE_C} AS price_c,
+         CAST(row_number() OVER (PARTITION BY o_orderpriority
+                                 ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS rn,
+         CAST(count(*) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS n
+  FROM orders
+),
+g AS (
+  SELECT o_orderpriority,
+         count(*) AS n_orders,
+         {duck_sum128('price_c')} AS _s1,
+         {duck_sum128('price_c * price_c')} AS _s2,
+         max(CASE WHEN rn = {_pct_lo_idx('0.5')} + 1 THEN price_c END) AS _median_price_lo,
+         max(CASE WHEN rn = least({_pct_lo_idx('0.5')} + 2, n) THEN price_c END) AS _median_price_hi,
+         max(CASE WHEN rn = {_pct_lo_idx('0.9')} + 1 THEN price_c END) AS _p90_price_lo,
+         max(CASE WHEN rn = least({_pct_lo_idx('0.9')} + 2, n) THEN price_c END) AS _p90_price_hi
+  FROM ranked
+  GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, n_orders,
+       {_AVG_PRICE_OUT},
+       {_STDDEV_OUT},
+       {_pct_out('median_price')},
+       {_pct_out('p90_price')}
+FROM g
 """
 
 QUERIES["order_price_stats"] = (order_price_stats, ORDER_PRICE_STATS_SQL)
 
 
+# corr/covar from exact integer co-moments: n, Sx, Sy, Sxx, Syy, Sxy
+# aggregated in 128-bit, the co-moment NUMERATORS (n*Sxy - Sx*Sy etc.)
+# still formed in exact integer space (doing the subtraction in double
+# is catastrophic cancellation AND order-dependent), then one identical
+# double expression per output.
+_CORR_OUT = (
+    fround(
+        "CAST(_num_xy AS DOUBLE)"
+        " / (sqrt(CAST(_num_xx AS DOUBLE)) * sqrt(CAST(_num_yy AS DOUBLE)))",
+        4,
+    )
+    + " AS bal_spend_corr"
+)
+_COVAR_OUT = (
+    fround(
+        "CAST(_num_xy AS DOUBLE)"
+        " / (CAST(n_customers AS DOUBLE) * CAST(n_customers - 1 AS DOUBLE))"
+        " / 10000.0",
+        2,
+    )
+    + " AS bal_spend_covar"
+)
+
+
 def customer_value_correlation(spark, sf_dir):
-    """Pearson correlation + covariance between account balance and
-    total spend per market segment (two-pass-free: Spark's corr/covar
-    are single-pass streaming aggregates — the same plan shape at any
-    scale)."""
+    """Pearson correlation + sample covariance between account balance
+    and total spend per market segment.  Still a single-pass aggregate
+    shape (six exact 128-bit co-moment sums replace Spark's float
+    streaming corr/covar state — same plan, map-side partials intact);
+    outputs derive from the exact moments via one identical IEEE
+    expression in both engines (operators/common.py discipline).
+    Units: cents and cents² throughout, /1e4 to dollars² at the end
+    (scale factors cancel inside corr)."""
     c = read(spark, sf_dir, "customer")
     o = read(spark, sf_dir, "orders")
-    spend = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("spend"))
+    spend = o.groupBy("o_custkey").agg(
+        F.expr(f"CAST({spark_sum128(_TOTALPRICE_C)} AS BIGINT)").alias("spend_c")
+    )
+    pairs = c.join(spend, c.c_custkey == spend.o_custkey).selectExpr(
+        "c_mktsegment", f"{_BAL_C} AS bal_c", "spend_c"
+    )
     return (
-        c.join(spend, c.c_custkey == spend.o_custkey)
-        .groupBy("c_mktsegment")
+        pairs.groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("n_customers"),
-            F.round(F.corr("c_acctbal", "spend"), 4).alias("bal_spend_corr"),
-            F.round(F.covar_samp("c_acctbal", "spend"), 2).alias("bal_spend_covar"),
+            F.expr(spark_sum128("bal_c")).alias("_sx"),
+            F.expr(spark_sum128("spend_c")).alias("_sy"),
+            # per-row products cast to decimal BEFORE multiplying:
+            # spend_c² overflows int64 once per-customer spend passes
+            # ~$9.6e8 (decimal(38,0) carries it to ~1e38)
+            F.expr("sum(CAST(bal_c AS DECIMAL(28,0)) * bal_c)").alias("_sxx"),
+            F.expr("sum(CAST(spend_c AS DECIMAL(28,0)) * spend_c)").alias("_syy"),
+            F.expr("sum(CAST(bal_c AS DECIMAL(28,0)) * spend_c)").alias("_sxy"),
         )
+        .selectExpr(
+            "c_mktsegment",
+            "n_customers",
+            "CAST(n_customers AS DECIMAL(38,0)) * _sxy - _sx * _sy AS _num_xy",
+            "CAST(n_customers AS DECIMAL(38,0)) * _sxx - _sx * _sx AS _num_xx",
+            "CAST(n_customers AS DECIMAL(38,0)) * _syy - _sy * _sy AS _num_yy",
+        )
+        .selectExpr("c_mktsegment", "n_customers", _CORR_OUT, _COVAR_OUT)
     )
 
 
-CUSTOMER_CORR_SQL = """
+CUSTOMER_CORR_SQL = f"""
 WITH spend AS (
-  SELECT o_custkey, sum(o_totalprice) AS spend FROM orders GROUP BY o_custkey
+  SELECT o_custkey, CAST({duck_sum128(_TOTALPRICE_C)} AS BIGINT) AS spend_c
+  FROM orders GROUP BY o_custkey
+),
+pairs AS (
+  SELECT c_mktsegment, {_BAL_C} AS bal_c, spend_c
+  FROM customer JOIN spend ON c_custkey = o_custkey
+),
+g AS (
+  SELECT c_mktsegment,
+         count(*) AS n_customers,
+         sum(bal_c) AS _sx,
+         sum(spend_c) AS _sy,
+         sum(CAST(bal_c AS HUGEINT) * bal_c) AS _sxx,
+         sum(CAST(spend_c AS HUGEINT) * spend_c) AS _syy,
+         sum(CAST(bal_c AS HUGEINT) * spend_c) AS _sxy
+  FROM pairs
+  GROUP BY c_mktsegment
+),
+m AS (
+  SELECT c_mktsegment, n_customers,
+         n_customers * _sxy - _sx * _sy AS _num_xy,
+         n_customers * _sxx - _sx * _sx AS _num_xx,
+         n_customers * _syy - _sy * _sy AS _num_yy
+  FROM g
 )
-SELECT c_mktsegment,
-       count(*) AS n_customers,
-       round(corr(c_acctbal, spend), 4) AS bal_spend_corr,
-       round(covar_samp(c_acctbal, spend), 2) AS bal_spend_covar
-FROM customer JOIN spend ON c_custkey = o_custkey
-GROUP BY c_mktsegment
+SELECT c_mktsegment, n_customers, {_CORR_OUT}, {_COVAR_OUT}
+FROM m
 """
 
 QUERIES["customer_value_correlation"] = (

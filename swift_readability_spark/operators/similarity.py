@@ -82,14 +82,28 @@ def ivf_centroids(spark, sf_dir):
         # dependent; decimals make the mean bit-identical on any plan
         .withColumn("v", F.col("v").cast("decimal(20,10)"))
         .groupBy("label", "pos")
-        .agg(F.round(F.avg("v"), 4).cast("double").alias("mean_v"))
+        # exact decimal sum -> identical double division + floor-round
+        # in both engines (avg(decimal) returns decimal in Spark but
+        # DOUBLE in DuckDB, so even the decimal avg wasn't portable)
+        .agg(
+            F.expr(
+                "floor(CAST(sum(v) AS DOUBLE) / CAST(count(v) AS DOUBLE)"
+                " * 10000 + 0.5) / 10000"
+            ).alias("mean_v")
+        )
         .groupBy("label")
         .agg(
             F.expr(
                 "transform(array_sort(collect_list(struct(pos, mean_v))), s -> s.mean_v)"
             ).alias("centroid")
         )
-        .select("label", F.expr("round(aggregate(centroid, 0D, (a, v) -> a + v), 4)").alias("centroid_sum"))
+        .select(
+            "label",
+            F.expr(
+                "floor(aggregate(centroid, 0D, (a, v) -> a + v) * 10000 + 0.5)"
+                " / 10000"
+            ).alias("centroid_sum"),
+        )
     )
 
 
@@ -99,10 +113,13 @@ WITH d AS (
          CAST(unnest(embedding) AS DOUBLE) AS v
   FROM embeddings
 ),
-m AS (SELECT label, pos, CAST(round(avg(CAST(v AS DECIMAL(20,10))), 4) AS DOUBLE) AS mean_v
+m AS (SELECT label, pos,
+             floor(CAST(sum(CAST(v AS DECIMAL(20,10))) AS DOUBLE)
+                   / CAST(count(v) AS DOUBLE) * 10000 + 0.5) / 10000 AS mean_v
       FROM d GROUP BY label, pos)
 SELECT label,
-       round(list_reduce(list(mean_v ORDER BY pos), (a, b) -> a + b), 4) AS centroid_sum
+       floor(list_reduce(list(mean_v ORDER BY pos), (a, b) -> a + b) * 10000 + 0.5)
+         / 10000 AS centroid_sum
 FROM m
 GROUP BY label
 """
@@ -125,12 +142,20 @@ def ann_ivf_topk(spark, sf_dir):
     e = read(spark, sf_dir, "embeddings")
     exploded = (
         e.select("label", F.posexplode("embedding").alias("pos", "v"))
+        # exact decimal sum -> identical double mean in both engines:
+        # the probe choice ORDERS on these centroids, so a partition-
+        # order-dependent float avg is a row-membership flake
+        .withColumn("v", F.col("v").cast("decimal(20,10)"))
         .groupBy("label", "pos")
-        .agg(F.avg("v").alias("mean_v"))
+        .agg(
+            F.expr(
+                "CAST(sum(v) AS DOUBLE) / CAST(count(v) AS DOUBLE)"
+            ).alias("mean_v")
+        )
         .groupBy("label")
         .agg(
             F.expr(
-                "transform(array_sort(collect_list(struct(pos, mean_v))), s -> CAST(s.mean_v AS DOUBLE))"
+                "transform(array_sort(collect_list(struct(pos, mean_v))), s -> s.mean_v)"
             ).alias("centroid")
         )
     )
@@ -172,7 +197,10 @@ d AS (
 ),
 cent AS (
   SELECT label, list(mean_v ORDER BY pos) AS centroid
-  FROM (SELECT label, pos, avg(v) AS mean_v FROM d GROUP BY label, pos)
+  FROM (SELECT label, pos,
+               CAST(sum(CAST(v AS DECIMAL(20,10))) AS DOUBLE)
+                 / CAST(count(v) AS DOUBLE) AS mean_v
+        FROM d GROUP BY label, pos)
   GROUP BY label
 ),
 q AS (SELECT emb AS qvec FROM e WHERE vec_id = {QUERY_VEC_ID}),
@@ -233,13 +261,20 @@ _ASSIGN_EXPR = (
 
 
 def _cell_centroids(assigned):
-    """(cell, centroid) — exact decimal per-dimension means, rounded to
-    4 dp so Spark and DuckDB produce bit-identical centroids."""
+    """(cell, centroid) — exact decimal per-dimension sums, mean via an
+    identical double division + floor-round to 4 dp so Spark and
+    DuckDB produce bit-identical centroids (avg(decimal) returns
+    decimal in Spark but DOUBLE in DuckDB — not portable)."""
     return (
         assigned.select("cell", F.posexplode("embedding").alias("pos", "v"))
         .withColumn("v", F.col("v").cast("decimal(20,10)"))
         .groupBy("cell", "pos")
-        .agg(F.round(F.avg("v"), 4).cast("double").alias("mean_v"))
+        .agg(
+            F.expr(
+                "floor(CAST(sum(v) AS DOUBLE) / CAST(count(v) AS DOUBLE)"
+                " * 10000 + 0.5) / 10000"
+            ).alias("mean_v")
+        )
         .groupBy("cell")
         .agg(
             F.expr(
@@ -322,7 +357,9 @@ WHERE a.rn = 1
     cents = """
 SELECT cell, list(mean_v ORDER BY pos) AS centroid
 FROM (
-  SELECT cell, pos, CAST(round(avg(CAST(v AS DECIMAL(20,10))), 4) AS DOUBLE) AS mean_v
+  SELECT cell, pos,
+         floor(CAST(sum(CAST(v AS DECIMAL(20,10))) AS DOUBLE)
+               / CAST(count(v) AS DOUBLE) * 10000 + 0.5) / 10000 AS mean_v
   FROM (SELECT cell, generate_subscripts(emb, 1) AS pos, unnest(emb) AS v FROM {src})
   GROUP BY cell, pos
 )

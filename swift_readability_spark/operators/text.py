@@ -78,14 +78,18 @@ def readerable_score(spark, sf_dir):
     ).otherwise(F.lit(0.0))
     return d.select(
         "doc_id",
-        F.round(score, 4).alias("readerable_score"),
+        # _r, not round(): sqrt of an int is the identical double in
+        # both engines, but engine round() can still split on a .00005
+        # boundary (Spark rounds the decimal string, DuckDB the binary)
+        _r(score, 4).alias("readerable_score"),
         (score > 20).alias("readerable"),
     )
 
 
 READERABLE_SQL = """
 SELECT doc_id,
-       round(CASE WHEN n_chars >= 140 THEN sqrt(n_chars - 140) ELSE 0.0 END, 4)
+       floor(CASE WHEN n_chars >= 140 THEN sqrt(n_chars - 140) ELSE 0.0 END
+             * 10000 + 0.5) / 10000
          AS readerable_score,
        (CASE WHEN n_chars >= 140 THEN sqrt(n_chars - 140) ELSE 0.0 END) > 20
          AS readerable
@@ -318,7 +322,10 @@ def token_set_similarity(spark, sf_dir):
         docs.crossJoin(F.broadcast(ref))
         .withColumn(
             "similarity",
-            F.round(
+            # _r, not round(): the ratio is the identical double in
+            # both engines (ints in, one division), but engine round()
+            # diverges on string-vs-binary midpoints (text.py::_r)
+            _r(
                 1
                 - F.when(
                     F.expr(joined_len.format(arr="tokens")) == 0, F.lit(0.0)
@@ -342,9 +349,9 @@ WITH t AS (
 ),
 r AS (SELECT tokens AS ref_tokens FROM t WHERE doc_id = 0)
 SELECT doc_id,
-       round(1 - CASE WHEN coalesce(length(array_to_string(tokens, ' ')), 0) = 0 THEN 0.0
-                      ELSE coalesce(length(array_to_string(list_filter(tokens, x -> NOT list_contains(ref_tokens, x)), ' ')), 0)
-                           / length(array_to_string(tokens, ' ')) END, 4) AS similarity
+       floor((1 - CASE WHEN coalesce(length(array_to_string(tokens, ' ')), 0) = 0 THEN 0.0
+                       ELSE coalesce(length(array_to_string(list_filter(tokens, x -> NOT list_contains(ref_tokens, x)), ' ')), 0)
+                            / length(array_to_string(tokens, ' ')) END) * 10000 + 0.5) / 10000 AS similarity
 FROM t, r
 """
 
@@ -566,10 +573,10 @@ def tfidf_top_terms(spark, sf_dir):
     tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
     df = tf.groupBy("word").agg(F.count("*").alias("df"))
     scored = tf.join(df, "word").withColumn(
-        "score_milli", F.expr("tf * 1000000L DIV df")
+        "score_micro", F.expr("tf * 1000000L DIV df")
     )
     w = Window.partitionBy("doc_id").orderBy(
-        F.desc("score_milli"), F.asc("word")
+        F.desc("score_micro"), F.asc("word")
     )
     return (
         scored.withColumn("rnk", F.row_number().over(w))
@@ -579,7 +586,7 @@ def tfidf_top_terms(spark, sf_dir):
             "word",
             "tf",
             "df",
-            "score_milli",
+            "score_micro",
             F.col("rnk").cast("bigint").alias("rnk"),
         )
     )
@@ -593,7 +600,7 @@ WITH wds AS (
 tf AS (SELECT doc_id, word, count(*) AS tf FROM wds GROUP BY doc_id, word),
 df AS (SELECT word, count(*) AS df FROM tf GROUP BY word)
 SELECT doc_id, word, tf, df,
-       tf * 1000000 // df AS score_milli,
+       tf * 1000000 // df AS score_micro,
        CAST(row_number() OVER (PARTITION BY doc_id
                                ORDER BY tf * 1000000 // df DESC, word ASC)
             AS BIGINT) AS rnk

@@ -34,38 +34,48 @@ _STATE_SCHEMA = T.StructType(
         T.StructField("session_start", T.DoubleType()),
         T.StructField("session_end", T.DoubleType()),
         T.StructField("n_events", T.LongType()),
-        T.StructField("total_value", T.DoubleType()),
+        # exact integer cents — float accumulation in arrival order
+        # would diverge from the batch twin's exact integer sum
+        T.StructField("total_cents", T.LongType()),
     ]
 )
 
 
 def _sessionize_group(key, pdf_iter, state: GroupState):
-    """Emit closed sessions; keep the open session in state."""
+    """Emit closed sessions; keep the open session in state.
+
+    total_value accumulates EXACT integer cents (math.floor(v*100+0.5)
+    — the same IEEE expression the batch twin and the DuckDB oracle
+    evaluate), so stream == batch holds bit-for-bit regardless of
+    accumulation order."""
+    import math
+
     (user_id,) = key
     gap = SESSION_GAP_MINUTES * 60.0
     if state.exists:
-        start, end, n, total = state.get
+        start, end, n, total_c = state.get
     else:
         start = end = None
-        n, total = 0, 0.0
+        n, total_c = 0, 0
     closed = []
     for pdf in pdf_iter:
         pdf = pdf.sort_values("ts")
         for ts, value in zip(pdf["ts"], pdf["value"]):
             t = ts.timestamp()
+            cents = int(math.floor(float(value) * 100.0 + 0.5))
             if start is None:
                 start = end = t
-                n, total = 1, float(value)
+                n, total_c = 1, cents
             elif t - end > gap:
-                closed.append((start, end, n, total))
+                closed.append((start, end, n, total_c))
                 start = end = t
-                n, total = 1, float(value)
+                n, total_c = 1, cents
             else:
                 end = t
                 n += 1
-                total += float(value)
+                total_c += cents
     if start is not None:
-        state.update((start, end, n, total))
+        state.update((start, end, n, total_c))
     if closed:
         yield pd.DataFrame(
             {
@@ -73,7 +83,7 @@ def _sessionize_group(key, pdf_iter, state: GroupState):
                 "session_start": [_dt.datetime.utcfromtimestamp(c[0]) for c in closed],
                 "session_end": [_dt.datetime.utcfromtimestamp(c[1]) for c in closed],
                 "n_events": [c[2] for c in closed],
-                "total_value": [round(c[3], 2) for c in closed],
+                "total_value": [c[3] / 100.0 for c in closed],
             }
         )
 
@@ -115,7 +125,13 @@ def sessionize_batch(events: DataFrame) -> DataFrame:
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            # exact integer cents (operators/common.py discipline):
+            # matches the streaming twin's integer accumulator and the
+            # DuckDB oracle bit-for-bit on any partitioning
+            F.expr(
+                "CAST(sum(CAST(CAST(floor((value) * 100 + 0.5) AS BIGINT)"
+                " AS DECIMAL(28,0))) AS DOUBLE) / 100.0"
+            ).alias("total_value"),
         )
         .drop("_session_id")
     )

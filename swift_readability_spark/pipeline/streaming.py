@@ -127,7 +127,13 @@ def run_windowed_stream(
         .groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            # exact integer-cents sum (operators/common.py discipline)
+            # — identical to the events_windowed_counts batch twin, so
+            # stream == batch holds bit-for-bit
+            F.expr(
+                "CAST(sum(CAST(CAST(floor((value) * 100 + 0.5) AS BIGINT)"
+                " AS DECIMAL(28,0))) AS DOUBLE) / 100.0"
+            ).alias("total_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),

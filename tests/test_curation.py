@@ -140,3 +140,66 @@ def test_build_training_set_split_matches_dataset_split(spark):
     assert pipeline  # non-vacuous
     for doc_id, split in pipeline.items():
         assert standalone[doc_id] == split
+
+
+def test_stratified_sample_small_stratum_keeps_all_without_raising(spark, tmp_path):
+    """A stratum smaller than K saturates the pre-filter threshold and
+    keeps every doc — and the undershoot guard must NOT fire (least(K,
+    n_stratum) clamps it)."""
+    from swift_readability_spark.operators.curation import stratified_sample
+
+    rows = [(i, f"text {i}", "tiny", "s", 10) for i in range(7)]
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(f"{d}/documents.parquet")
+    got = stratified_sample(spark, d).collect()
+    assert len(got) == 7
+    assert {r.rnk for r in got} == set(range(1, 8))
+
+
+def test_stratified_sample_undershoot_raises_loudly(spark, tmp_path):
+    """Planted undershoot (VERDICT r04 item 5): a 500-doc stratum whose
+    doc_ids are CHOSEN so only K-1 of them land under the oversample
+    threshold must fail the job with the remedy in the message — never
+    silently return a short sample.
+
+    Construction mirrors the operator's own hash: bucket =
+    int(md5(str(doc_id))[:15], 16) % 1_000_000, threshold =
+    ceil(8K * 1e6 / n); pick 49 ids below it and 451 at-or-above."""
+    import hashlib
+
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from swift_readability_spark.operators.curation import (
+        _STRATA_BUCKETS,
+        STRATA_K,
+        STRATA_OVERSAMPLE,
+        stratified_sample,
+    )
+
+    n = 500
+    thresh = (STRATA_OVERSAMPLE * STRATA_K * _STRATA_BUCKETS + n - 1) // n
+
+    def bucket(i: int) -> int:
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) % _STRATA_BUCKETS
+
+    below, above = [], []
+    i = 0
+    while len(below) < STRATA_K - 1 or len(above) < n - (STRATA_K - 1):
+        if bucket(i) < thresh:
+            if len(below) < STRATA_K - 1:
+                below.append(i)
+        elif len(above) < n - (STRATA_K - 1):
+            above.append(i)
+        i += 1
+    ids = below + above
+    assert len(ids) == n
+    rows = [(i, f"text {i}", "en", "s", 10) for i in ids]
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(f"{d}/documents.parquet")
+    with pytest.raises(SparkRuntimeException, match="STRATA_OVERSAMPLE"):
+        stratified_sample(spark, d).collect()
