@@ -52,11 +52,33 @@ def exact_scaled_int(col: str, digits: int = 2) -> str:
 def spark_sum128(int_snippet: str) -> str:
     """Exact 128-bit sum of an integer snippet on the Spark side:
     DECIMAL(28,0) input promotes to a DECIMAL(38,0) sum, so per-group
-    totals stay exact far past int64 (~1e38 in the scaled unit — at
-    100 TB a corpus-wide 1e-4-dollar revenue sum is ~1e20, thirty
-    orders of magnitude of headroom).  Partial aggregation (map-side
-    combine) still applies: decimal sums merge associatively."""
+    totals stay exact far past int64 (~1e38 in the scaled unit).
+    Partial aggregation (map-side combine) still applies: decimal sums
+    merge associatively.
+
+    COST: the DECIMAL(38,0) aggregation buffer is not long-backed —
+    an interleaved A/B on q1 at sf0.1 measured the all-decimal form
+    1.8x slower than int64 sums (0.39 -> 0.71 s).  Use this only where
+    per-row magnitudes genuinely exceed int64 headroom (sums of
+    squares / co-moments: price_cents² is 2.5e15 per row, overflowing
+    int64 at ~3.7k rows per group); for plain money sums use
+    ``spark_sum64`` and its documented bounds."""
     return f"sum(CAST(({int_snippet}) AS DECIMAL(28,0)))"
+
+
+def spark_sum64(int_snippet: str) -> str:
+    """Exact int64 sum — the FAST path (long-backed, whole-stage
+    codegen).  Headroom at 100 TB (TPC-H SF~130k, lineitem ~8e11 rows,
+    worst case one-sixth of the table in a single q1 group = 1.3e11
+    rows): cents-scale sums reach ~5e17 (18x headroom in int64's
+    9.2e18); per-row-bounded 1e-4-unit products like price_c*disc_c
+    (disc_c <= 10) reach ~2.5e18 (3.7x).  1e-4-unit FULL products
+    (price_c*(100-disc_c), ~3.6e8/row) would NOT fit — decompose them
+    into two cents-scale sums (100*Σprice_c − Σprice_c*disc_c) and
+    recombine exactly in decimal post-agg, or use ``spark_sum128``.
+    Overflow is LOUD, not silent: Spark 4 runs ANSI mode by default,
+    so an int64 sum overflow raises instead of wrapping."""
+    return f"sum({int_snippet})"
 
 
 def duck_sum128(int_snippet: str) -> str:

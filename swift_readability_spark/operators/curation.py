@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from .common import duck_sum128, fround, read, spark_sum128
+from .common import duck_sum128, fround, read, spark_sum64
 from .dedup import _SPARK_NORM, _duck_hash, _duck_hash60, _spark_hash, _spark_hash60
 from .text import _r
 
@@ -261,7 +261,7 @@ def corpus_report(spark, sf_dir):
             F.count("*").alias("n_docs"),
             F.sum("n_tokens").alias("total_tokens"),
             F.countDistinct("content_hash").alias("n_distinct"),
-            F.expr(spark_sum128("text_len")).alias("_sum_len"),
+            F.expr(spark_sum64("text_len")).alias("_sum_len"),
         )
     )
     total = Window.partitionBy()

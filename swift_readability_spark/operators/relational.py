@@ -12,7 +12,14 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .common import duck_sum128, exact_scaled_int, fround, read, spark_sum128
+from .common import (
+    duck_sum128,
+    exact_scaled_int,
+    fround,
+    read,
+    spark_sum64,
+    spark_sum128,
+)
 
 # Exact scaled-integer readings of the 2-dp money/value columns
 # (operators/common.py: the exact-arithmetic aggregation discipline —
@@ -27,7 +34,17 @@ _RETAIL_C = exact_scaled_int("p_retailprice")  # cents
 _BAL_C = exact_scaled_int("c_acctbal")  # cents
 # l_extendedprice * (1 - l_discount) in exact 1e-4-dollar units:
 # cents * (100 - discount-hundredths), an int64 per row (<= ~1e9).
+# For SMALL groups (q3: per-order) sum this directly; for whole-table
+# groups (q1/q5) it is decomposed as 100*Σprice_c − Σ(price_c*disc_c)
+# — two cents-scale int64 sums (fast codegen path, headroom bounds in
+# common.py::spark_sum64) recombined exactly in decimal over the few
+# output groups.
 _DISC_PRICE_E4 = f"({_PRICE_C}) * (100 - {_DISC_C})"
+_PRICE_DISC_E4 = f"({_PRICE_C}) * ({_DISC_C})"
+# exact post-agg recombination (Spark side; per-group, so cost-free):
+_REV_E4_FROM_PARTS = (
+    "(CAST(_s_price_c AS DECIMAL(38,0)) * 100 - _s_price_disc)"
+)
 
 
 def q1_pricing_summary(spark, sf_dir):
@@ -35,23 +52,26 @@ def q1_pricing_summary(spark, sf_dir):
     (the reference's score-aggregation analogue at corpus scale).
 
     Money aggregates follow the exact-arithmetic discipline
-    (operators/common.py): scan-level exact cents, 128-bit integer
-    sums (map-side partial agg unchanged), one identical IEEE double
-    expression per output, floor-rounding last."""
+    (operators/common.py): scan-level exact cents, exact int64 sums on
+    the codegen fast path (the all-DECIMAL(38,0) form measured 1.8x
+    slower in an interleaved A/B; headroom bounds in
+    common.py::spark_sum64 — ANSI mode raises loudly on overflow),
+    with the 1e-4-unit revenue DECOMPOSED into two cents-scale sums
+    and recombined exactly in decimal over the six output groups; one
+    identical IEEE double expression per output, floor-rounding
+    last."""
     l = read(spark, sf_dir, "lineitem")
-    s_qty = spark_sum128(_QTY_C)
-    s_price = spark_sum128(_PRICE_C)
-    s_disc_price = spark_sum128(_DISC_PRICE_E4)
-    s_disc = spark_sum128(_DISC_C)
+    s_qty = spark_sum64(_QTY_C)
+    s_price = spark_sum64(_PRICE_C)
+    s_disc = spark_sum64(_DISC_C)
     return (
         l.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.expr(f"CAST({s_qty} AS DOUBLE) / 100.0").alias("sum_qty"),
             F.expr(f"CAST({s_price} AS DOUBLE) / 100.0").alias("sum_base_price"),
-            F.expr(
-                fround(f"CAST({s_disc_price} AS DOUBLE) / 10000.0", 2)
-            ).alias("sum_disc_price"),
+            F.expr(spark_sum64(_PRICE_C)).alias("_s_price_c"),
+            F.expr(spark_sum64(_PRICE_DISC_E4)).alias("_s_price_disc"),
             F.expr(
                 fround(
                     f"CAST({s_qty} AS DOUBLE)"
@@ -68,6 +88,17 @@ def q1_pricing_summary(spark, sf_dir):
             ).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
+        .selectExpr(
+            "l_returnflag",
+            "l_linestatus",
+            "sum_qty",
+            "sum_base_price",
+            fround(f"CAST({_REV_E4_FROM_PARTS} AS DOUBLE) / 10000.0", 2)
+            + " AS sum_disc_price",
+            "avg_qty",
+            "avg_disc",
+            "count_order",
+        )
     )
 
 
@@ -75,7 +106,7 @@ Q1_SQL = f"""
 SELECT l_returnflag, l_linestatus,
        CAST({duck_sum128(_QTY_C)} AS DOUBLE) / 100.0 AS sum_qty,
        CAST({duck_sum128(_PRICE_C)} AS DOUBLE) / 100.0 AS sum_base_price,
-       {fround(f"CAST({duck_sum128(_DISC_PRICE_E4)} AS DOUBLE) / 10000.0", 2)} AS sum_disc_price,
+       {fround(f"CAST({duck_sum128(_PRICE_C)} * 100 - {duck_sum128(_PRICE_DISC_E4)} AS DOUBLE) / 10000.0", 2)} AS sum_disc_price,
        {fround(f"CAST({duck_sum128(_QTY_C)} AS DOUBLE) / CAST(count(l_quantity) AS DOUBLE) / 100.0", 4)} AS avg_qty,
        {fround(f"CAST({duck_sum128(_DISC_C)} AS DOUBLE) / CAST(count(l_discount) AS DOUBLE) / 100.0", 4)} AS avg_disc,
        count(*) AS count_order
@@ -97,7 +128,9 @@ def q3_shipping_priority(spark, sf_dir):
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey")
-        .agg(F.expr(spark_sum128(_DISC_PRICE_E4)).alias("_rev_e4"))
+        # per-order groups: a handful of rows x ~1e9 per row — int64
+        # safe at any corpus scale (common.py::spark_sum64)
+        .agg(F.expr(spark_sum64(_DISC_PRICE_E4)).alias("_rev_e4"))
         .orderBy(F.desc("_rev_e4"), F.asc("l_orderkey"))
         .limit(10)
         .selectExpr(
@@ -132,20 +165,26 @@ def q5_nation_revenue(spark, sf_dir):
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name", "n_name")
+        # whole-table groups: decomposed int64 sums, exact decimal
+        # recombination over the 25 output rows (see q1 / common.py)
         .agg(
-            F.expr(
-                fround(
-                    f"CAST({spark_sum128(_DISC_PRICE_E4)} AS DOUBLE) / 10000.0", 2
-                )
-            ).alias("revenue"),
+            F.expr(spark_sum64(_PRICE_C)).alias("_s_price_c"),
+            F.expr(spark_sum64(_PRICE_DISC_E4)).alias("_s_price_disc"),
             F.count("*").alias("line_count"),
+        )
+        .selectExpr(
+            "r_name",
+            "n_name",
+            fround(f"CAST({_REV_E4_FROM_PARTS} AS DOUBLE) / 10000.0", 2)
+            + " AS revenue",
+            "line_count",
         )
     )
 
 
 Q5_SQL = f"""
 SELECT r_name, n_name,
-       {fround(f"CAST({duck_sum128(_DISC_PRICE_E4)} AS DOUBLE) / 10000.0", 2)} AS revenue,
+       {fround(f"CAST({duck_sum128(_PRICE_C)} * 100 - {duck_sum128(_PRICE_DISC_E4)} AS DOUBLE) / 10000.0", 2)} AS revenue,
        count(*) AS line_count
 FROM lineitem
 JOIN supplier ON l_suppkey = s_suppkey
@@ -205,7 +244,7 @@ def big_spender_customers(spark, sf_dir):
     o = read(spark, sf_dir, "orders")
     big = (
         o.groupBy("o_custkey")
-        .agg(F.expr(spark_sum128(_TOTALPRICE_C)).alias("_spend_c"))
+        .agg(F.expr(spark_sum64(_TOTALPRICE_C)).alias("_spend_c"))
         .filter(F.col("_spend_c") > 300000 * 100)
     )
     return (
@@ -236,7 +275,7 @@ def events_daily_by_type(spark, sf_dir):
         .agg(
             F.count("*").alias("n_events"),
             F.expr(
-                f"CAST({spark_sum128(_VALUE_C)} AS DOUBLE) / 100.0"
+                f"CAST({spark_sum64(_VALUE_C)} AS DOUBLE) / 100.0"
             ).alias("total_value"),
         )
     )
@@ -298,7 +337,7 @@ def part_type_stats(spark, sf_dir):
             F.count("*").alias("n_parts"),
             F.expr(
                 fround(
-                    f"CAST({spark_sum128(_RETAIL_C)} AS DOUBLE)"
+                    f"CAST({spark_sum64(_RETAIL_C)} AS DOUBLE)"
                     " / CAST(count(p_retailprice) AS DOUBLE) / 100.0",
                     2,
                 )
@@ -358,7 +397,7 @@ def events_rollup(spark, sf_dir):
         .agg(
             F.count("*").alias("n_events"),
             F.expr(
-                f"CAST({spark_sum128(_VALUE_C)} AS DOUBLE) / 100.0"
+                f"CAST({spark_sum64(_VALUE_C)} AS DOUBLE) / 100.0"
             ).alias("total_value"),
         )
         .select(
@@ -392,7 +431,7 @@ def events_cube(spark, sf_dir):
         .agg(
             F.count("*").alias("n_events"),
             F.expr(
-                f"CAST({spark_sum128(_VALUE_C)} AS DOUBLE) / 100.0"
+                f"CAST({spark_sum64(_VALUE_C)} AS DOUBLE) / 100.0"
             ).alias("total_value"),
         )
         .select(
@@ -674,7 +713,7 @@ def events_range_join_buckets(spark, sf_dir):
         .agg(
             F.count("*").alias("n_events"),
             F.expr(
-                f"CAST({spark_sum128(_VALUE_C)} AS DOUBLE) / 100.0"
+                f"CAST({spark_sum64(_VALUE_C)} AS DOUBLE) / 100.0"
             ).alias("total_value"),
         )
     )
@@ -707,7 +746,7 @@ def events_windowed_counts(spark, sf_dir):
         .agg(
             F.count("*").alias("n_events"),
             F.expr(
-                f"CAST({spark_sum128(_VALUE_C)} AS DOUBLE) / 100.0"
+                f"CAST({spark_sum64(_VALUE_C)} AS DOUBLE) / 100.0"
             ).alias("total_value"),
         )
         .select(
@@ -794,7 +833,7 @@ def order_price_stats(spark, sf_dir):
     )
     aggs = [
         F.count("*").alias("n_orders"),
-        F.expr(spark_sum128("price_c")).alias("_s1"),
+        F.expr(spark_sum64("price_c")).alias("_s1"),
         F.expr(spark_sum128("price_c * price_c")).alias("_s2"),
     ]
     for tag, p in _PCT_P.items():
@@ -891,7 +930,7 @@ def customer_value_correlation(spark, sf_dir):
     c = read(spark, sf_dir, "customer")
     o = read(spark, sf_dir, "orders")
     spend = o.groupBy("o_custkey").agg(
-        F.expr(f"CAST({spark_sum128(_TOTALPRICE_C)} AS BIGINT)").alias("spend_c")
+        F.expr(spark_sum64(_TOTALPRICE_C)).alias("spend_c")
     )
     pairs = c.join(spend, c.c_custkey == spend.o_custkey).selectExpr(
         "c_mktsegment", f"{_BAL_C} AS bal_c", "spend_c"
@@ -900,8 +939,8 @@ def customer_value_correlation(spark, sf_dir):
         pairs.groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("n_customers"),
-            F.expr(spark_sum128("bal_c")).alias("_sx"),
-            F.expr(spark_sum128("spend_c")).alias("_sy"),
+            F.expr(spark_sum64("bal_c")).alias("_sx"),
+            F.expr(spark_sum64("spend_c")).alias("_sy"),
             # per-row products cast to decimal BEFORE multiplying:
             # spend_c² overflows int64 once per-customer spend passes
             # ~$9.6e8 (decimal(38,0) carries it to ~1e38)
@@ -912,9 +951,14 @@ def customer_value_correlation(spark, sf_dir):
         .selectExpr(
             "c_mktsegment",
             "n_customers",
-            "CAST(n_customers AS DECIMAL(38,0)) * _sxy - _sx * _sy AS _num_xy",
-            "CAST(n_customers AS DECIMAL(38,0)) * _sxx - _sx * _sx AS _num_xx",
-            "CAST(n_customers AS DECIMAL(38,0)) * _syy - _sy * _sy AS _num_yy",
+            # _sx/_sy are int64 sums — lift to decimal BEFORE the
+            # products (long*long would overflow under ANSI)
+            "CAST(n_customers AS DECIMAL(38,0)) * _sxy"
+            " - CAST(_sx AS DECIMAL(38,0)) * _sy AS _num_xy",
+            "CAST(n_customers AS DECIMAL(38,0)) * _sxx"
+            " - CAST(_sx AS DECIMAL(38,0)) * _sx AS _num_xx",
+            "CAST(n_customers AS DECIMAL(38,0)) * _syy"
+            " - CAST(_sy AS DECIMAL(38,0)) * _sy AS _num_yy",
         )
         .selectExpr("c_mktsegment", "n_customers", _CORR_OUT, _COVAR_OUT)
     )
