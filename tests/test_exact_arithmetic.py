@@ -1,0 +1,118 @@
+"""Cross-engine pins for the exact-arithmetic helpers
+(operators/common.py) on ADVERSARIAL values — the 0.50145 class where
+engine round() demonstrably splits (Spark rounds the decimal string,
+DuckDB the binary double) and where a float aggregate could land
+either side of a floor boundary.
+"""
+
+import duckdb
+import pytest
+
+# values whose nearest double sits a hair BELOW the printed midpoint
+# (0.50145 is the historical sf0.1 flake), plus exact representables,
+# negatives, and magnitude extremes of the testdata columns
+NASTY = [
+    0.50145,
+    0.50155,
+    0.07,
+    0.1,
+    19.98,
+    104999.91,
+    499993.18,
+    -19.98,
+    -0.04,
+    0.005,
+    -0.005,
+    123456.78,
+    0.0,
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    return duckdb.connect()
+
+
+def test_exact_scaled_int_agrees_and_reconstructs(spark, duck):
+    """floor(x*100+0.5) as BIGINT must agree bit-for-bit between
+    engines and reconstruct the 2-dp decimal (x == cents/100.0)."""
+    from swift_readability_spark.operators.common import exact_scaled_int
+
+    expr = exact_scaled_int("x")
+    df = spark.createDataFrame([(v,) for v in NASTY], "x double")
+    got_spark = [
+        r[0] for r in df.selectExpr(f"{expr} AS c").orderBy("c").collect()
+    ]
+    got_duck = sorted(
+        r[0]
+        for r in duck.sql(
+            "SELECT " + expr + " AS c FROM (SELECT unnest(?::DOUBLE[]) AS x)",
+            params=[NASTY],
+        ).fetchall()
+    )
+    assert got_spark == got_duck
+    # reconstruction: for 2-dp inputs the scaled int divided back is
+    # the original double (0.005/-0.005 are 3-dp — they half-up to the
+    # nearest cent by design, so they are excluded here)
+    two_dp = [v for v in NASTY if v == round(v * 100) / 100]
+    df2 = spark.createDataFrame([(v,) for v in two_dp], "x double")
+    recon = [
+        r[0]
+        for r in df2.selectExpr(f"CAST({expr} AS DOUBLE) / 100.0 AS y")
+        .orderBy("y")
+        .collect()
+    ]
+    assert recon == sorted(two_dp)
+
+
+def test_fround_agrees_on_midpoint_class(spark, duck):
+    """fround (floor(x*10^k + 0.5)/10^k) must agree between engines on
+    the string-vs-binary midpoint values where engine round() is KNOWN
+    to split — and this test pins that split as the motivation."""
+    from swift_readability_spark.operators.common import fround
+
+    expr = fround("x", 4)
+    df = spark.createDataFrame([(v,) for v in NASTY], "x double")
+    got_spark = sorted(
+        r[0] for r in df.selectExpr(f"{expr} AS y").collect()
+    )
+    got_duck = sorted(
+        r[0]
+        for r in duck.sql(
+            "SELECT " + expr + " AS y FROM (SELECT unnest(?::DOUBLE[]) AS x)",
+            params=[NASTY],
+        ).fetchall()
+    )
+    assert got_spark == got_duck
+    # the motivating split: engine round() DISAGREES on 0.50145
+    spark_round = spark.sql("SELECT round(0.50145D, 4)").collect()[0][0]
+    duck_round = duck.sql("SELECT round(0.50145::DOUBLE, 4)").fetchone()[0]
+    assert spark_round != duck_round, (
+        "engine round() now agrees on 0.50145 — if Spark changed its "
+        "string-based rounding, fround may no longer be needed"
+    )
+
+
+def test_sum64_and_sum128_agree_with_hugeint(spark, duck):
+    """Exact integer sums: Spark's int64 fast path and the
+    DECIMAL(38,0) 128-bit path must both equal DuckDB's HUGEINT sum,
+    and casting the total to DOUBLE must agree bit-for-bit."""
+    from swift_readability_spark.operators.common import (
+        exact_scaled_int,
+        spark_sum64,
+        spark_sum128,
+    )
+
+    vals = NASTY * 1000  # 13k rows, partial sums across partitions
+    df = spark.createDataFrame([(v,) for v in vals], "x double").repartition(16)
+    c = exact_scaled_int("x")
+    row = df.selectExpr(
+        f"CAST({spark_sum64(c)} AS DOUBLE) AS s64",
+        f"CAST({spark_sum128(c)} AS DOUBLE) AS s128",
+    ).collect()[0]
+    duck_total = duck.sql(
+        f"SELECT CAST(sum({c}) AS DOUBLE) FROM (SELECT unnest(?::DOUBLE[]) AS x)",
+        params=[vals],
+    ).fetchone()[0]
+    assert row.s64 == duck_total
+    assert row.s128 == duck_total
