@@ -27,6 +27,8 @@ DRIVER_WINDOW_FIRST = (
     "corpus_report",
     # (b) new in r05
     "containment_stats",
+    "pack_sequences_stats",
+    "split_leakage_audit",
     # (c) round-5 exact-arithmetic sweep / changed queries
     "q1_pricing_summary",
     "q3_shipping_priority",

@@ -190,6 +190,67 @@ FROM b
 """
 
 
+def pack_sequences_stats(spark, sf_dir):
+    """The packing-efficiency audit for ``pack_sequences`` (house
+    "no silent caps" pattern — the greedy packer's waste is measured,
+    not assumed): sequence count, fill ratio, over-budget sequences
+    (a document larger than the budget gets a sequence of its own, by
+    design).  All outputs are exact integers — fill_ratio_e4 is the
+    integer rational ``total_tokens*1e4 DIV capacity`` (positive
+    operands, so Spark's truncating div and DuckDB's flooring ``//``
+    agree).  Plan: the pack windows + one (bucket, seq_id) groupBy
+    sharing the bucket partitioning + a single-row rollup."""
+    p = pack_sequences(spark, sf_dir)
+    per_seq = p.groupBy("bucket", "seq_id").agg(
+        F.count("*").alias("n_docs_seq"),
+        F.sum("n_tokens").alias("seq_tokens"),
+    )
+    return per_seq.agg(
+        F.count("*").cast("bigint").alias("n_sequences"),
+        F.sum("n_docs_seq").cast("bigint").alias("n_docs"),
+        F.sum("seq_tokens").cast("bigint").alias("total_tokens"),
+        F.max("seq_tokens").cast("bigint").alias("max_seq_tokens"),
+        F.sum(F.when(F.col("seq_tokens") > PACK_BUDGET, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_over_budget"),
+        F.expr(
+            f"CAST(sum(seq_tokens) * 10000 DIV (count(*) * {PACK_BUDGET})"
+            " AS BIGINT)"
+        ).alias("fill_ratio_e4"),
+    )
+
+
+PACK_SEQUENCES_STATS_SQL = f"""
+WITH b AS (
+  SELECT doc_id,
+         {_duck_hash('CAST(doc_id AS VARCHAR)')} % {PACK_BUCKETS} AS bucket,
+         CAST({_TOKENS_DUCK} AS BIGINT) AS n_tokens
+  FROM documents
+),
+p AS (
+  SELECT bucket,
+         CAST(floor((sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                                         ROWS UNBOUNDED PRECEDING) - n_tokens)
+                    / {PACK_BUDGET}) AS BIGINT) AS seq_id,
+         n_tokens
+  FROM b
+),
+s AS (
+  SELECT bucket, seq_id, count(*) AS n_docs_seq, sum(n_tokens) AS seq_tokens
+  FROM p GROUP BY bucket, seq_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_sequences,
+       CAST(sum(n_docs_seq) AS BIGINT) AS n_docs,
+       CAST(sum(seq_tokens) AS BIGINT) AS total_tokens,
+       CAST(max(seq_tokens) AS BIGINT) AS max_seq_tokens,
+       CAST(sum(CASE WHEN seq_tokens > {PACK_BUDGET} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_over_budget,
+       CAST(sum(seq_tokens) * 10000 // (count(*) * {PACK_BUDGET}) AS BIGINT)
+         AS fill_ratio_e4
+FROM s
+"""
+
+
 # ---------------------------------------------------------------------------
 # deterministic mixture sampling
 # ---------------------------------------------------------------------------
@@ -509,6 +570,7 @@ QUERIES = {
     "stratified_sample": (stratified_sample, STRATIFIED_SAMPLE_SQL),
     "chunk_dedup_stats": (chunk_dedup_stats, CHUNK_DEDUP_STATS_SQL),
     "pack_sequences": (pack_sequences, PACK_SEQUENCES_SQL),
+    "pack_sequences_stats": (pack_sequences_stats, PACK_SEQUENCES_STATS_SQL),
     "mixture_sample": (mixture_sample, MIXTURE_SAMPLE_SQL),
     "corpus_report": (corpus_report, CORPUS_REPORT_SQL),
     "knn_join": (knn_join, KNN_JOIN_SQL),

@@ -1853,3 +1853,84 @@ FROM documents
 """
 
 QUERIES["dataset_split"] = (dataset_split, DATASET_SPLIT_SQL)
+
+
+# -- split-leakage audit -----------------------------------------------------
+# The eval-integrity check every training pipeline must run AFTER
+# splitting: does any content hash span two splits?  Splits key on
+# doc_id, so a re-crawled duplicate (same content, new id) can land
+# its copies in train AND val — exactly the leak that inflates eval.
+# The driver corpus has no exact duplicates, so redelivery is
+# SIMULATED deterministically (the non-vacuous-oracle rule, same as
+# events_dedup_replayed's planted redeliveries): every doc_id % 25 ==
+# 0 is re-crawled under doc_id + RECRAWL_OFFSET.
+RECRAWL_MOD = 25
+RECRAWL_OFFSET = 1_000_000
+
+
+def split_leakage_audit(spark, sf_dir):
+    """Single-row audit: content hashes and documents whose hash spans
+    more than one train/val/test split.  Exact integers only.
+
+    Scale shape: one content-hash groupBy (map-side partial agg; the
+    countDistinct over the 3-value split column is a tiny state per
+    key) + a single-row rollup — the same plan at any corpus size.
+    The remediation path for real leaks is exact dedup BEFORE
+    splitting (dedup_exact / build_training_set do exactly that)."""
+    d = read(spark, sf_dir, "documents")
+    recrawl = d.filter(F.col("doc_id") % RECRAWL_MOD == 0).select(
+        (F.col("doc_id") + RECRAWL_OFFSET).alias("doc_id"), "text"
+    )
+    u = d.select("doc_id", "text").unionByName(recrawl)
+    bucket = f"pmod({_spark_hash('CAST(doc_id AS STRING)')}, {SPLIT_BUCKETS})"
+    split = (
+        f"CASE WHEN {bucket} < {VAL_PCT} THEN 'val'"
+        f" WHEN {bucket} < {VAL_PCT + TEST_PCT} THEN 'test'"
+        f" ELSE 'train' END"
+    )
+    norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    hashed = u.select(
+        F.md5(norm).alias("content_hash"), F.expr(split).alias("split")
+    )
+    per_hash = hashed.groupBy("content_hash").agg(
+        F.count("*").alias("n_docs_h"),
+        F.countDistinct("split").alias("n_splits"),
+    )
+    return per_hash.agg(
+        F.sum("n_docs_h").cast("bigint").alias("n_docs"),
+        F.count("*").cast("bigint").alias("n_content_hashes"),
+        F.sum(F.when(F.col("n_splits") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_leaked_hashes"),
+        F.sum(F.when(F.col("n_splits") > 1, F.col("n_docs_h")).otherwise(0))
+        .cast("bigint")
+        .alias("n_leaked_docs"),
+    )
+
+
+SPLIT_LEAKAGE_SQL = f"""
+WITH u AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {RECRAWL_OFFSET}, text FROM documents
+  WHERE doc_id % {RECRAWL_MOD} = 0
+),
+h AS (
+  SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS content_hash,
+         CASE WHEN {_duck_hash('CAST(doc_id AS VARCHAR)')} % {SPLIT_BUCKETS} < {VAL_PCT} THEN 'val'
+              WHEN {_duck_hash('CAST(doc_id AS VARCHAR)')} % {SPLIT_BUCKETS} < {VAL_PCT + TEST_PCT} THEN 'test'
+              ELSE 'train' END AS split
+  FROM u
+),
+p AS (
+  SELECT content_hash, count(*) AS n_docs_h, count(DISTINCT split) AS n_splits
+  FROM h GROUP BY content_hash
+)
+SELECT CAST(sum(n_docs_h) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_content_hashes,
+       CAST(sum(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked_hashes,
+       CAST(sum(CASE WHEN n_splits > 1 THEN n_docs_h ELSE 0 END) AS BIGINT) AS n_leaked_docs
+FROM p
+"""
+
+QUERIES["split_leakage_audit"] = (split_leakage_audit, SPLIT_LEAKAGE_SQL)
