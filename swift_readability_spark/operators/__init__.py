@@ -29,6 +29,7 @@ DRIVER_WINDOW_FIRST = (
     "containment_stats",
     "pack_sequences_stats",
     "split_leakage_audit",
+    "dedup_cluster_stats",
     # (c) round-5 exact-arithmetic sweep / changed queries
     "q1_pricing_summary",
     "q3_shipping_priority",

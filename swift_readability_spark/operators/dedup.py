@@ -1819,6 +1819,41 @@ SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
 QUERIES["dedup_clusters"] = (dedup_clusters, _clusters_sql())
 
 
+def dedup_cluster_stats(spark, sf_dir):
+    """The audit for ``dedup_clusters`` (house audited-caps pattern —
+    every multi-stage op ships its audit): cluster count, clustered
+    docs, the largest cluster, and how many clusters are CHAINS
+    (size >= 3 — components that exist only because of transitive
+    near-dup edges, the class pointer doubling exists for).  Exact
+    integers; one groupBy over the label table + single-row rollup."""
+    c = dedup_clusters(spark, sf_dir)
+    per = c.groupBy("cluster_id").agg(F.count("*").alias("sz"))
+    return per.agg(
+        F.count("*").cast("bigint").alias("n_clusters"),
+        F.sum("sz").cast("bigint").alias("n_docs_clustered"),
+        F.max("sz").cast("bigint").alias("max_cluster_size"),
+        F.sum(F.when(F.col("sz") >= 3, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_transitive_clusters"),
+    )
+
+
+def _cluster_stats_sql() -> str:
+    return f"""
+WITH labels AS ({_clusters_sql()}),
+per AS (SELECT cluster_id, count(*) AS sz FROM labels GROUP BY cluster_id)
+SELECT CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sum(sz) AS BIGINT) AS n_docs_clustered,
+       CAST(max(sz) AS BIGINT) AS max_cluster_size,
+       CAST(sum(CASE WHEN sz >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_transitive_clusters
+FROM per
+"""
+
+
+QUERIES["dedup_cluster_stats"] = (dedup_cluster_stats, _cluster_stats_sql())
+
+
 # -- deterministic dataset split --------------------------------------------
 # Train/val/test assignment must be a PURE FUNCTION of the document id
 # (stable under re-runs, resumes, and corpus growth — never a random()
