@@ -204,12 +204,15 @@ def top3_orders_per_customer(spark, sf_dir):
     return (
         o.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 3)
-        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("totalprice"), "rank")
+        # no round(): o_totalprice is already an exact 2-dp decimal
+        # stored as its nearest double — rounding was an identity, and
+        # dropping it removes the engine-round() surface entirely
+        .select("o_custkey", "o_orderkey", F.col("o_totalprice").alias("totalprice"), "rank")
     )
 
 
 TOP3_SQL = """
-SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice, rank
+SELECT o_custkey, o_orderkey, o_totalprice AS totalprice, rank
 FROM (
   SELECT o_custkey, o_orderkey, o_totalprice,
          row_number() OVER (PARTITION BY o_custkey
@@ -478,7 +481,15 @@ def order_aging(spark, sf_dir):
         F.datediff(F.lit("2026-01-01").cast("date"), F.to_date("o_orderdate"))
         .cast("bigint")
         .alias("age_days"),
-        F.round(F.log10(F.col("o_totalprice") + 1), 4).alias("log_price"),
+        # floor-form, not engine round() (string-vs-binary midpoint
+        # divergence).  Residual risk, documented: log10 itself is a
+        # libm call that MAY differ by 1 ulp between JVM and DuckDB —
+        # the only remaining engine-divergent double surface in the
+        # module (value-only, driver-green since r01); an ulp flip at
+        # a .00005 boundary would show here first.
+        F.expr(
+            "floor(log10(o_totalprice + 1) * 10000 + 0.5) / 10000"
+        ).alias("log_price"),
         F.pmod(F.col("o_orderkey"), F.lit(7)).cast("bigint").alias("key_mod7"),
     )
 
@@ -488,7 +499,7 @@ SELECT o_orderkey,
        CAST(year(o_orderdate) AS BIGINT) AS order_year,
        CAST(month(o_orderdate) AS BIGINT) AS order_month,
        CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2026-01-01') AS BIGINT) AS age_days,
-       round(log10(o_totalprice + 1), 4) AS log_price,
+       floor(log10(o_totalprice + 1) * 10000 + 0.5) / 10000 AS log_price,
        CAST(o_orderkey % 7 AS BIGINT) AS key_mod7
 FROM orders
 """
@@ -609,15 +620,17 @@ def q18_large_volume_customers(spark, sf_dir):
         .select(
             "c_name",
             "o_orderkey",
-            F.round("o_totalprice", 2).alias("totalprice"),
-            F.round("total_qty", 2).alias("total_qty"),
+            # identity rounds dropped: o_totalprice is an exact 2-dp
+            # double and total_qty an exact integer-valued sum
+            F.col("o_totalprice").alias("totalprice"),
+            F.col("total_qty").alias("total_qty"),
         )
     )
 
 
 Q18_SQL = """
-SELECT c_name, o_orderkey, round(o_totalprice, 2) AS totalprice,
-       round(total_qty, 2) AS total_qty
+SELECT c_name, o_orderkey, o_totalprice AS totalprice,
+       total_qty
 FROM orders
 JOIN (SELECT l_orderkey, sum(l_quantity) AS total_qty
       FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150) b
