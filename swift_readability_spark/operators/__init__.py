@@ -13,69 +13,72 @@ from . import curation, dedup, extraction, multimodal, relational, similarity, t
 ALL_MODULES = (relational, text, dedup, similarity, curation, multimodal, extraction)
 
 # The driver's correctness check samples the FIRST 50 registry entries.
-# Window re-derived for r05 (VERDICT r04 item 3): with CORRECTNESS_r04
-# every query has a driver row, so the window now holds (a) the one
-# red row (corpus_report — hardened this round, first per the VERDICT
-# demand), (b) the NEW query (containment_stats), (c) every query the
-# round-5 exact-arithmetic sweep CHANGED (new values/columns/plans need
-# fresh driver evidence under the driver's partitioning — the exact
-# environment that flaked corpus_report), then (d) flagships for
-# continuity.  Everything past the cap has a prior driver-green row and
-# stays pinned by scripts/validate_oracles.py full sweeps.
+# Window re-derived for r06 (VERDICT r05 item 2): (a) the twice-red
+# corpus_report — now integer-only — and its NEW bisecting twin
+# immediately after it, so a third red localizes tokenization/md5 vs
+# derivation; (b) every query round 6 CHANGED (integer-scaled outputs,
+# the \s fix, the corr zero-guard, the scale-derived IVF geometry, the
+# CC release paths); (c) the queries whose LAST driver evidence is
+# oldest (r03-era, then r04-era rows — driver-green then, code
+# unchanged since, but evidence rotates fresh per the VERDICT rule);
+# (d) flagship continuity.  Everything past the cap was driver-green
+# in r05 and stays pinned by scripts/validate_oracles.py full sweeps.
 DRIVER_WINDOW_FIRST = (
-    # (a) the r04 red row, fixed
+    # (a) the red row, doubles removed, + its bisect twin
     "corpus_report",
-    # (b) new in r05
-    "containment_stats",
-    "pack_sequences_stats",
-    "split_leakage_audit",
-    "dedup_cluster_stats",
-    # (c) round-5 exact-arithmetic sweep / changed queries
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_nation_revenue",
-    "big_spender_customers",
-    "events_daily_by_type",
-    "running_user_value",
-    "part_type_stats",
-    "events_rollup",
-    "events_cube",
-    "events_range_join_buckets",
-    "events_windowed_counts",
-    "sessionize_events",
-    "order_price_stats",
-    "customer_value_correlation",
+    "corpus_report_cols",
+    # (b) changed in r06
     "readerable_score",
-    "token_set_similarity",
+    "quality_score",
+    "curation_pipeline",
+    "split_leakage_audit",
+    "customer_value_correlation",
+    "dedup_clusters",
+    "dedup_cluster_stats",
     "ivf_centroids",
     "ann_ivf_topk",
     "ann_ivf_refined_topk",
-    "tfidf_top_terms",
-    "stratified_sample",
-    "dedup_clusters",
+    # (c) oldest driver evidence: r03-era rows
+    "events_dedup_replayed",
+    "comma_score",
+    "class_weight",
+    "normalized_text_length",
+    "token_counts",
+    "lang_id",
+    "doc_fingerprint",
+    "pii_scan",
+    "top_terms",
+    "repetition_stats",
+    "dedup_exact",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "lsh_bucket_stats",
+    "ngram_jaccard_pairs",
+    "simhash",
+    "simhash_neardup_pairs",
+    "embedding_neardup_pairs",
+    "mllib_minhash_pairs",
+    "simhash_band_stats",
+    "dedup_incremental",
+    # (c) r04-era rows
+    "customers_without_orders",
+    "order_priority_histogram",
+    "union_dedup_keys",
+    "repeat_customer_keys",
+    "order_aging",
+    "event_props_extract",
+    "user_event_type_map",
+    "q18_large_volume_customers",
+    "arrays_setops_demo",
+    "asof_last_purchase",
     # (d) flagship continuity
     "extract_metadata",
     "extract_spans_stats",
     "extract_and_curate",
     "build_training_set",
-    "paragraph_dedup",
-    "chunk_dedup_stats",
-    "pack_sequences",
-    "mixture_sample",
-    "knn_join",
-    "dataset_split",
-    "decontaminate_against_eval",
-    "simhash_wide",
-    "simhash_wide_neardup_pairs",
-    "simhash_wide_band_stats",
-    "embedding_neardup_pairs_wide",
-    "containment_pairs",
-    "ann_hyperplane_wide_topk",
-    "ann_bruteforce_topk",
-    "ann_hyperplane_topk",
-    "payload_features",
-    "media_decode_stub",
-    "media_frame_sample",
+    "q1_pricing_summary",
+    "sessionize_events",
+    "stratified_sample",
 )
 
 

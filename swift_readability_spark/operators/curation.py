@@ -296,21 +296,14 @@ WHERE {_duck_hash(f"{_MIX_SALT!r} || CAST(doc_id AS VARCHAR)")} % 100 < {_mix_ca
 # ---------------------------------------------------------------------------
 # per-language corpus report
 # ---------------------------------------------------------------------------
-def corpus_report(spark, sf_dir):
-    """The corpus report card: per-language doc counts, token totals,
-    distinct-content counts and corpus share.  One hash-groupBy (map-
-    side partial agg) + a broadcast-sized window over the language
-    rows — scales as a pure aggregation.
-
-    avg_len is derived from EXACT integer aggregates (sum of BIGINT
-    lengths in 128-bit, count) with one double division + floor-round
-    — identical op sequence in both engines.  The previous
-    ``avg(double)`` was partition-order dependent and flaked a .00005
-    boundary in the driver's CORRECTNESS_r04 run (the one red row);
-    see operators/common.py for the discipline."""
+def _corpus_report_per_lang(spark, sf_dir):
+    """Shared exact-integer aggregation stage for corpus_report and
+    its bisecting twin corpus_report_cols: one hash-groupBy (map-side
+    partial agg) producing per-language doc counts, token totals,
+    distinct-content counts and the exact text-length sum."""
     d = read(spark, sf_dir, "documents")
     norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
-    per_lang = (
+    return (
         d.select(
             "lang",
             F.expr(_TOKENS_SPARK).cast("bigint").alias("n_tokens"),
@@ -325,6 +318,31 @@ def corpus_report(spark, sf_dir):
             F.expr(spark_sum64("text_len")).alias("_sum_len"),
         )
     )
+
+
+def corpus_report(spark, sf_dir):
+    """The corpus report card: per-language doc counts, token totals,
+    distinct-content counts and corpus share.  One hash-groupBy (map-
+    side partial agg) + a broadcast-sized window over the language
+    rows — scales as a pure aggregation.
+
+    NO DOUBLES CROSS THE OUTPUT (round 6).  r04 and r05 both produced
+    a driver-red hash on this query — first on avg(double), then on
+    fround(exact_int/exact_int) despite an identical-IEEE-op-sequence
+    argument that held at every local scale factor.  Two falsified
+    rounds ⇒ the empirical rule: every derived column is an integer
+    rational, rounded half-up IN INTEGER SPACE (the tfidf_top_terms
+    recipe, driver-green r05):
+
+        avg_len_e4      = round(1e4 * Σlen / n)   = (Σlen*20000 + n) DIV (2n)
+        corpus_share_e4 = round(1e4 * n / total)  = (n*20000 + total) DIV (2·total)
+
+    The Σlen*20000 product is formed in DECIMAL(38,0) on the Spark
+    side (HUGEINT in DuckDB) so it cannot overflow at any corpus size;
+    the quotient ≤ 2e4·max_doc_len fits BIGINT trivially.  All
+    operands are non-negative, so trunc-div (Spark) == floor-div
+    (DuckDB)."""
+    per_lang = _corpus_report_per_lang(spark, sf_dir)
     total = Window.partitionBy()
     return per_lang.withColumn(
         "_total_docs", F.sum("n_docs").over(total)
@@ -333,15 +351,14 @@ def corpus_report(spark, sf_dir):
         "n_docs",
         "total_tokens",
         "n_distinct",
-        fround("CAST(_sum_len AS DOUBLE) / CAST(n_docs AS DOUBLE)", 4)
-        + " AS avg_len",
-        fround("CAST(n_docs AS DOUBLE) / CAST(_total_docs AS DOUBLE)", 4)
-        + " AS corpus_share",
+        "(CAST(_sum_len AS DECIMAL(38,0)) * 20000 + n_docs) div (2 * n_docs)"
+        " AS avg_len_e4",
+        "(n_docs * 20000 + _total_docs) div (2 * _total_docs)"
+        " AS corpus_share_e4",
     )
 
 
-CORPUS_REPORT_SQL = f"""
-WITH per AS (
+_CORPUS_REPORT_PER_SQL = f"""
   SELECT lang,
          count(*) AS n_docs,
          sum(CAST({_TOKENS_DUCK} AS BIGINT)) AS total_tokens,
@@ -349,10 +366,34 @@ WITH per AS (
          {duck_sum128('CAST(length(text) AS BIGINT)')} AS _sum_len
   FROM documents
   GROUP BY lang
-)
+"""
+
+CORPUS_REPORT_SQL = f"""
+WITH per AS ({_CORPUS_REPORT_PER_SQL})
 SELECT lang, n_docs, total_tokens, n_distinct,
-       {fround('CAST(_sum_len AS DOUBLE) / CAST(n_docs AS DOUBLE)', 4)} AS avg_len,
-       {fround('CAST(n_docs AS DOUBLE) / CAST(sum(n_docs) OVER () AS DOUBLE)', 4)} AS corpus_share
+       CAST((_sum_len * 20000 + n_docs) // (2 * n_docs) AS BIGINT) AS avg_len_e4,
+       CAST((n_docs * 20000 + sum(n_docs) OVER ()) // (2 * sum(n_docs) OVER ()) AS BIGINT)
+         AS corpus_share_e4
+FROM per
+"""
+
+
+def corpus_report_cols(spark, sf_dir):
+    """Bisecting twin of corpus_report: the exact-integer aggregation
+    inputs ONLY (no derived ratio columns).  If corpus_report is ever
+    driver-red again while this twin is green, the divergence is
+    localized to the avg_len_e4/corpus_share_e4 derivation; if BOTH
+    are red, it is in tokenization/md5/aggregation itself."""
+    return _corpus_report_per_lang(spark, sf_dir).selectExpr(
+        "lang", "n_docs", "total_tokens", "n_distinct",
+        "_sum_len AS sum_len",
+    )
+
+
+CORPUS_REPORT_COLS_SQL = f"""
+WITH per AS ({_CORPUS_REPORT_PER_SQL})
+SELECT lang, n_docs, total_tokens, n_distinct,
+       CAST(_sum_len AS BIGINT) AS sum_len
 FROM per
 """
 
@@ -573,5 +614,6 @@ QUERIES = {
     "pack_sequences_stats": (pack_sequences_stats, PACK_SEQUENCES_STATS_SQL),
     "mixture_sample": (mixture_sample, MIXTURE_SAMPLE_SQL),
     "corpus_report": (corpus_report, CORPUS_REPORT_SQL),
+    "corpus_report_cols": (corpus_report_cols, CORPUS_REPORT_COLS_SQL),
     "knn_join": (knn_join, KNN_JOIN_SQL),
 }

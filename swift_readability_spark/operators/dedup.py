@@ -1769,6 +1769,13 @@ def connected_components(edges, max_rounds=MAX_CC_ROUNDS, checkpoint_release=Non
     finally:
         bidir.unpersist()
     if changed != 0:
+        # nothing useful will be returned — free the working state
+        # before raising (ADVICE r05: the last checkpoint otherwise
+        # leaks until JVM GC with no release handle)
+        if labels.is_cached:
+            labels.unpersist()
+        if labels_ckpt_ids:
+            _unpersist_ids(labels_ckpt_ids)
         raise CCNotConverged(
             f"connected_components still had {changed} changing labels after"
             f" {max_rounds} rounds — with pointer doubling that means a"
@@ -1778,9 +1785,40 @@ def connected_components(edges, max_rounds=MAX_CC_ROUNDS, checkpoint_release=Non
             " upstream to collapse the chain"
         )
     if checkpoint_release is not None:
+        # the final labels may be (a) only cached (converged before the
+        # first checkpoint round — ADVICE r05's uncovered case), (b) a
+        # localCheckpoint, or (c) a cache whose recompute root is the
+        # last checkpoint: release the cache first, then the checkpoint
+        _final_labels = labels
         _final_ids = set(labels_ckpt_ids)
-        checkpoint_release.append(lambda: _unpersist_ids(_final_ids))
+
+        def _release():
+            if _final_labels.is_cached:
+                _final_labels.unpersist()
+            if _final_ids:
+                _unpersist_ids(_final_ids)
+
+        checkpoint_release.append(_release)
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
+
+
+# Session-scoped release registry for the batch path (VERDICT r05
+# item 5): the final label table of a connected_components call cannot
+# be freed before the caller consumes the result, so each
+# dedup_clusters call parks its release callable here and DRAINS the
+# previous call's — storage holds at most ONE label table at a time
+# across back-to-back runs in a session (pinned by
+# tests/test_checkpoint_release.py).  Safe under the batch model where
+# a result is consumed before the next builder runs; a caller that
+# interleaves two live cluster DataFrames should pass its own
+# ``checkpoint_release`` list instead.
+_CC_PENDING_RELEASES: list = []
+
+
+def drain_cc_releases():
+    """Release label tables parked by previous dedup_clusters calls."""
+    while _CC_PENDING_RELEASES:
+        _CC_PENDING_RELEASES.pop()()
 
 
 def dedup_clusters(spark, sf_dir):
@@ -1789,14 +1827,14 @@ def dedup_clusters(spark, sf_dir):
     :class:`CCNotConverged` rather than ever returning split clusters
     from an un-converged propagation.
 
-    Call-site note: the result may be backed by a final
-    ``localCheckpoint`` that lives until JVM GC (one label-table copy
-    per call) — a registry query runs once per batch session, so the
-    leak is bounded; long-lived services should pass
-    ``checkpoint_release`` to :func:`connected_components` and release
-    after consuming the result."""
+    The final label table (cache or localCheckpoint) is parked on the
+    session release registry and freed when the NEXT dedup_clusters
+    call starts (or when the caller invokes :func:`drain_cc_releases`),
+    so repeated batch runs in one session do not accumulate label-table
+    copies."""
     edges = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    return connected_components(edges)
+    drain_cc_releases()
+    return connected_components(edges, checkpoint_release=_CC_PENDING_RELEASES)
 
 
 def _clusters_sql() -> str:
@@ -1923,7 +1961,11 @@ def split_leakage_audit(spark, sf_dir):
         f" WHEN {bucket} < {VAL_PCT + TEST_PCT} THEN 'test'"
         f" ELSE 'train' END"
     )
-    norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    # Explicit whitespace class, NOT \s: Java's \s includes \x0B
+    # (vertical tab) while DuckDB's RE2 \s does not, and this query's
+    # entire output hinges on the content hash — a \x0B-bearing doc
+    # would flip the leak counts between engines (ADVICE r05).
+    norm = F.lower(F.trim(F.regexp_replace("text", "[ \t\n\x0b\f\r]+", " ")))
     hashed = u.select(
         F.md5(norm).alias("content_hash"), F.expr(split).alias("split")
     )
@@ -1951,7 +1993,7 @@ WITH u AS (
   WHERE doc_id % {RECRAWL_MOD} = 0
 ),
 h AS (
-  SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS content_hash,
+  SELECT md5(lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')))) AS content_hash,
          CASE WHEN {_duck_hash('CAST(doc_id AS VARCHAR)')} % {SPLIT_BUCKETS} < {VAL_PCT} THEN 'val'
               WHEN {_duck_hash('CAST(doc_id AS VARCHAR)')} % {SPLIT_BUCKETS} < {VAL_PCT + TEST_PCT} THEN 'test'
               ELSE 'train' END AS split

@@ -912,13 +912,19 @@ QUERIES["order_price_stats"] = (order_price_stats, ORDER_PRICE_STATS_SQL)
 # still formed in exact integer space (doing the subtraction in double
 # is catastrophic cancellation AND order-dependent), then one identical
 # double expression per output.
+# Zero-variance guard (ADVICE r05): a degenerate stratum (all-equal
+# balances or spends) makes _num_xx/_num_yy zero — x/0.0 is Infinity/
+# NaN in Spark doubles (and floor()-to-int on it can raise under ANSI)
+# while DuckDB's behavior differs; corr is undefined there, so both
+# engines return NULL, matching what a builtin corr() would do.
 _CORR_OUT = (
-    fround(
+    "CASE WHEN _num_xx = 0 OR _num_yy = 0 THEN NULL ELSE "
+    + fround(
         "CAST(_num_xy AS DOUBLE)"
         " / (sqrt(CAST(_num_xx AS DOUBLE)) * sqrt(CAST(_num_yy AS DOUBLE)))",
         4,
     )
-    + " AS bal_spend_corr"
+    + " END AS bal_spend_corr"
 )
 _COVAR_OUT = (
     fround(

@@ -72,178 +72,55 @@ LIMIT {TOP_K}
 """
 
 
-def ivf_centroids(spark, sf_dir):
-    """Coarse quantizer: per-label mean vector (the IVF cell list).
-    posexplode -> per-dimension mean -> re-assembled ordered array."""
-    e = read(spark, sf_dir, "embeddings")
-    return (
-        e.select("label", F.posexplode("embedding").alias("pos", "v"))
-        # exact decimal aggregation: float sums are partition-order
-        # dependent; decimals make the mean bit-identical on any plan
-        .withColumn("v", F.col("v").cast("decimal(20,10)"))
-        .groupBy("label", "pos")
-        # exact decimal sum -> identical double division + floor-round
-        # in both engines (avg(decimal) returns decimal in Spark but
-        # DOUBLE in DuckDB, so even the decimal avg wasn't portable)
-        .agg(
-            F.expr(
-                "floor(CAST(sum(v) AS DOUBLE) / CAST(count(v) AS DOUBLE)"
-                " * 10000 + 0.5) / 10000"
-            ).alias("mean_v")
-        )
-        .groupBy("label")
-        .agg(
-            F.expr(
-                "transform(array_sort(collect_list(struct(pos, mean_v))), s -> s.mean_v)"
-            ).alias("centroid")
-        )
-        .select(
-            "label",
-            F.expr(
-                "floor(aggregate(centroid, 0D, (a, v) -> a + v) * 10000 + 0.5)"
-                " / 10000"
-            ).alias("centroid_sum"),
-        )
+# -- scale-derived IVF geometry (VERDICT r05 item 4) ------------------------
+# k = recommended_ivf_cells(n) ~ sqrt(n): per-probe scan cost (n/k
+# rows) and centroid-probe cost (k rows) balance at sqrt(n) — the
+# standard IVF sizing.  Floored so an average cell keeps >=
+# MIN_CELL_ROWS vectors (below that a centroid is noise and P probes
+# cover most of the corpus anyway), capped so the broadcast centroid
+# table stays broadcast-sized (65536 cells x 64 dims x 8 B ~ 34 MB).
+# At 10^9 vectors: min(31623, 2e7, 65536) = 31623 cells — a ~16 MB
+# broadcast, probe fraction P/k ~ 1e-4 of the corpus.  Growth +
+# recall are pinned by tests/test_similarity.py.
+MIN_CELL_ROWS = 50
+MAX_IVF_CELLS = 65536
+
+
+def recommended_ivf_cells(
+    n_vectors: int,
+    min_cell_rows: int = MIN_CELL_ROWS,
+    max_cells: int = MAX_IVF_CELLS,
+) -> int:
+    """~sqrt(n) IVF cell count, budget-guarded (the similarity-search
+    sibling of dedup.recommended_band_bits).  floor(IEEE sqrt) matches
+    the oracle's SQL floor(sqrt(n)) exactly for any feasible corpus
+    size (both are the correctly-rounded double sqrt)."""
+    import math
+
+    if n_vectors <= 1:
+        return 1
+    return max(
+        1,
+        min(
+            int(math.floor(math.sqrt(float(n_vectors)))),
+            n_vectors // min_cell_rows,
+            max_cells,
+        ),
     )
 
 
-IVF_CENTROIDS_SQL = """
-WITH d AS (
-  SELECT label, generate_subscripts(embedding, 1) AS pos,
-         CAST(unnest(embedding) AS DOUBLE) AS v
-  FROM embeddings
-),
-m AS (SELECT label, pos,
-             floor(CAST(sum(CAST(v AS DECIMAL(20,10))) AS DOUBLE)
-                   / CAST(count(v) AS DOUBLE) * 10000 + 0.5) / 10000 AS mean_v
-      FROM d GROUP BY label, pos)
-SELECT label,
-       floor(list_reduce(list(mean_v ORDER BY pos), (a, b) -> a + b) * 10000 + 0.5)
-         / 10000 AS centroid_sum
-FROM m
-GROUP BY label
-"""
-
-
-# cells probed per query: single-probe IVF misses neighbours that sit
-# just across a cell boundary; probing the top-P centroids is the
-# standard recall fix (FAISS nprobe) and costs P/num_cells of the
-# corpus scan instead of 1/num_cells — still a partition prune, never
-# a full scan.  On the (weakly clustered) test embeddings recall@10
-# vs brute force measures 0.1 at P=1 and 0.4-0.5 at P=3
-# (tests/test_similarity.py pins the floor).
-N_PROBES = 3
-
-
-def ann_ivf_topk(spark, sf_dir):
-    """IVF-style search, multi-probe: rank coarse centroids (per-label
-    mean) by query cosine, scan the top-``N_PROBES`` cells, exact
-    top-10 within the probed union."""
-    e = read(spark, sf_dir, "embeddings")
-    exploded = (
-        e.select("label", F.posexplode("embedding").alias("pos", "v"))
-        # exact decimal sum -> identical double mean in both engines:
-        # the probe choice ORDERS on these centroids, so a partition-
-        # order-dependent float avg is a row-membership flake
-        .withColumn("v", F.col("v").cast("decimal(20,10)"))
-        .groupBy("label", "pos")
-        .agg(
-            F.expr(
-                "CAST(sum(v) AS DOUBLE) / CAST(count(v) AS DOUBLE)"
-            ).alias("mean_v")
-        )
-        .groupBy("label")
-        .agg(
-            F.expr(
-                "transform(array_sort(collect_list(struct(pos, mean_v))), s -> s.mean_v)"
-            ).alias("centroid")
-        )
-    )
-    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
-        F.col("embedding").alias("qvec")
-    )
-    cent_cos = F.expr(_DOT.format(a="centroid", b="qvec")) / (
-        F.expr(_NORM.format(v="centroid")) * F.expr(_NORM.format(v="qvec"))
-    )
-    best_label = (
-        exploded.crossJoin(F.broadcast(q))
-        .withColumn("cc", cent_cos)
-        .orderBy(F.desc("cc"), F.asc("label"))
-        .limit(N_PROBES)
-        .select("label")
-    )
-    cos = F.expr(_DOT.format(a="embedding", b="qvec")) / (
-        F.expr(_NORM.format(v="embedding")) * F.expr(_NORM.format(v="qvec"))
-    )
-    return (
-        e.join(F.broadcast(best_label), "label")
-        .crossJoin(F.broadcast(q))
-        .filter(F.col("vec_id") != QUERY_VEC_ID)
-        .withColumn("cosine_raw", cos)
-        .orderBy(F.desc("cosine_raw"), F.asc("vec_id"))
-        .limit(TOP_K)
-        .select(
-            "vec_id",
-            "label",
-            (F.floor(F.col("cosine_raw") * 10000 + 0.5) / 10000).alias("cosine"),
-        )
-    )
-
-
-ANN_IVF_SQL = f"""
-WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-d AS (
-  SELECT label, generate_subscripts(emb, 1) AS pos, unnest(emb) AS v FROM e
-),
-cent AS (
-  SELECT label, list(mean_v ORDER BY pos) AS centroid
-  FROM (SELECT label, pos,
-               CAST(sum(CAST(v AS DECIMAL(20,10))) AS DOUBLE)
-                 / CAST(count(v) AS DOUBLE) AS mean_v
-        FROM d GROUP BY label, pos)
-  GROUP BY label
-),
-q AS (SELECT emb AS qvec FROM e WHERE vec_id = {QUERY_VEC_ID}),
-best AS (
-  SELECT label
-  FROM cent, q
-  ORDER BY {_D_DOT.format(a='centroid', b='qvec')}
-           / ({_D_NORM.format(v='centroid')} * {_D_NORM.format(v='qvec')}) DESC,
-           label ASC
-  LIMIT {N_PROBES}
+# the oracle derives the SAME k from the data (the registry SQL is
+# static across scale factors, so k cannot be inlined as a literal)
+_K_DUCK = (
+    f"greatest(1, least(CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT),"
+    f" count(*) // {MIN_CELL_ROWS}, {MAX_IVF_CELLS}))"
 )
-SELECT vec_id, e.label AS label,
-       floor({_D_DOT.format(a='emb', b='qvec')}
-             / ({_D_NORM.format(v='emb')} * {_D_NORM.format(v='qvec')})
-             * 10000 + 0.5) / 10000 AS cosine
-FROM e JOIN best ON e.label = best.label, q
-WHERE vec_id != {QUERY_VEC_ID}
-ORDER BY {_D_DOT.format(a='emb', b='qvec')}
-         / ({_D_NORM.format(v='emb')} * {_D_NORM.format(v='qvec')}) DESC,
-         vec_id ASC
-LIMIT {TOP_K}
-"""
 
+# portable 60-bit hash ranks the seed choice (dedup.py helpers)
+from .dedup import _duck_hash60, _spark_hash60  # noqa: E402
 
-QUERIES = {
-    "ann_bruteforce_topk": (ann_bruteforce_topk, ANN_BRUTE_SQL),
-    "ivf_centroids": (ivf_centroids, IVF_CENTROIDS_SQL),
-    "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_SQL),
-}
-
-
-# -- refined IVF: k-means iterations on top of the label seed ---------------
-# The label-seeded cells are weak (recall@10 0.4-0.5 at P=3); two
-# k-means refinement passes re-shape the cells around the actual vector
-# geometry and lift recall@10 to 0.7-0.8 at P=4 (floor-pinned in
-# tests/test_similarity.py).  Each pass is shuffle-light at scale: the
-# centroid table (k rows) collapses to ONE broadcast array row, and the
-# argmax assignment is a single whole-stage-codegen projection per
-# vector — no per-iteration shuffle of the corpus; only the k-row
-# centroid recompute aggregates (posexplode + decimal mean, exact and
-# engine-portable).  At 10^9 vectors: k = O(sqrt(N)) cells, same plan.
-KMEANS_ITERS = 2
-N_PROBES_REFINED = 4
+_SEED_H_SPARK = _spark_hash60("CAST(vec_id AS STRING)")
+_SEED_H_DUCK = _duck_hash60("CAST(vec_id AS VARCHAR)")
 
 _CENT_COS = (
     "(aggregate(zip_with(embedding, c.centroid, (x, y) -> CAST(x AS DOUBLE) * y),"
@@ -260,11 +137,45 @@ _ASSIGN_EXPR = (
 )
 
 
+def _seed_assignment(e, k: int):
+    """Initial IVF assignment: the k hash-ranked vectors (deterministic,
+    engine-portable, geometry-aware — seeds are actual corpus points,
+    the standard k-means init) become cells 0..k-1; every vector joins
+    its argmax-cosine seed.  The seed pick is a k-row TakeOrdered, the
+    assignment one broadcast + one codegen projection — no shuffle of
+    the corpus."""
+    from pyspark.sql import Window
+
+    seeds = (
+        e.selectExpr(
+            "vec_id",
+            "transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid",
+            f"{_SEED_H_SPARK} AS _h",
+        )
+        .orderBy("_h", "vec_id")
+        .limit(k)
+    )
+    # row_number over the k-row seed table only (single tiny partition)
+    w = Window.orderBy("_h", "vec_id")
+    seeds = (
+        seeds.withColumn("cell", (F.row_number().over(w) - 1).cast("int"))
+        .select("cell", "centroid")
+    )
+    cents_arr = seeds.agg(
+        F.expr("collect_list(struct(cell, centroid))").alias("cents")
+    )
+    return (
+        e.crossJoin(F.broadcast(cents_arr))
+        .withColumn("cell", F.expr(_ASSIGN_EXPR).cast("int"))
+        .select("vec_id", "label", "embedding", "cell")
+    )
+
+
 def _cell_centroids(assigned):
-    """(cell, centroid) — exact decimal per-dimension sums, mean via an
-    identical double division + floor-round to 4 dp so Spark and
-    DuckDB produce bit-identical centroids (avg(decimal) returns
-    decimal in Spark but DOUBLE in DuckDB — not portable)."""
+    """(cell, centroid, n_members) — exact decimal per-dimension sums,
+    mean via an identical double division + floor-round to 4 dp so
+    Spark and DuckDB produce bit-identical centroids (avg(decimal)
+    returns decimal in Spark but DOUBLE in DuckDB — not portable)."""
     return (
         assigned.select("cell", F.posexplode("embedding").alias("pos", "v"))
         .withColumn("v", F.col("v").cast("decimal(20,10)"))
@@ -273,23 +184,212 @@ def _cell_centroids(assigned):
             F.expr(
                 "floor(CAST(sum(v) AS DOUBLE) / CAST(count(v) AS DOUBLE)"
                 " * 10000 + 0.5) / 10000"
-            ).alias("mean_v")
+            ).alias("mean_v"),
+            F.count("*").alias("_cnt"),
         )
         .groupBy("cell")
         .agg(
             F.expr(
                 "transform(array_sort(collect_list(struct(pos, mean_v))), s -> s.mean_v)"
-            ).alias("centroid")
+            ).alias("centroid"),
+            # every pos of a cell counts the same members
+            F.max("_cnt").cast("bigint").alias("n_members"),
         )
     )
 
 
-def ann_ivf_refined_topk(spark, sf_dir):
-    """IVF with k-means-refined cells: label-seeded centroids, two
-    refinement passes (broadcast-array argmax assignment), multi-probe
-    top-``N_PROBES_REFINED`` search, exact rerank."""
+# shared oracle CTE fragments: seed pick + argmax assignment
+_SEEDS_DUCK = f"""
+kk AS (SELECT {_K_DUCK} AS k FROM e),
+ranked AS (
+  SELECT vec_id, emb,
+         row_number() OVER (ORDER BY {_SEED_H_DUCK}, vec_id) AS rn
+  FROM e
+),
+seeds AS (
+  SELECT CAST(rn - 1 AS INTEGER) AS cell, emb AS centroid
+  FROM ranked, kk WHERE rn <= kk.k
+)"""
+
+_ASSIGN_DUCK = """
+SELECT a.vec_id, v.label, v.emb, a.cell
+FROM (
+  SELECT v.vec_id, c.cell,
+         row_number() OVER (
+           PARTITION BY v.vec_id
+           ORDER BY list_reduce(list_transform(range(1, len(v.emb) + 1),
+                                               i -> v.emb[i] * c.centroid[i]),
+                                (x, y) -> x + y)
+                    / (sqrt(list_reduce(list_transform(v.emb, x -> x * x), (x, y) -> x + y))
+                       * sqrt(list_reduce(list_transform(c.centroid, x -> x * x), (x, y) -> x + y)))
+                    DESC, c.cell ASC
+         ) AS rn
+  FROM e v, {cents} c
+) a
+JOIN e v USING (vec_id)
+WHERE a.rn = 1
+"""
+
+_CENTS_DUCK = """
+SELECT cell, list(mean_v ORDER BY pos) AS centroid, max(cnt) AS n_members
+FROM (
+  SELECT cell, pos,
+         floor(CAST(sum(CAST(v AS DECIMAL(20,10))) AS DOUBLE)
+               / CAST(count(v) AS DOUBLE) * 10000 + 0.5) / 10000 AS mean_v,
+         count(v) AS cnt
+  FROM (SELECT cell, generate_subscripts(emb, 1) AS pos, unnest(emb) AS v FROM {src})
+  GROUP BY cell, pos
+)
+GROUP BY cell
+"""
+
+
+def ivf_centroids(spark, sf_dir):
+    """Coarse quantizer over SCALE-DERIVED cells: k =
+    recommended_ivf_cells(n) hash-ranked seed vectors, one argmax
+    assignment pass, exact-decimal per-cell means.  The driver-side
+    count that sizes k is parquet-metadata-only at scale (and the one
+    permissible collect class — a scalar, not rows)."""
     e = read(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
-    assigned = e.withColumn("cell", F.col("label").cast("int"))
+    k = recommended_ivf_cells(e.count())
+    cents = _cell_centroids(_seed_assignment(e, k))
+    return cents.selectExpr(
+        "CAST(cell AS BIGINT) AS cell",
+        "n_members",
+        "floor(aggregate(centroid, 0D, (a, v) -> a + v) * 10000 + 0.5)"
+        " / 10000 AS centroid_sum",
+    )
+
+
+IVF_CENTROIDS_SQL = f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+{_SEEDS_DUCK},
+a0 AS ({_ASSIGN_DUCK.format(cents='seeds')}),
+m AS ({_CENTS_DUCK.format(src='a0')})
+SELECT CAST(cell AS BIGINT) AS cell,
+       CAST(n_members AS BIGINT) AS n_members,
+       floor(list_reduce(centroid, (a, b) -> a + b) * 10000 + 0.5)
+         / 10000 AS centroid_sum
+FROM m
+"""
+
+
+# cells probed per query: single-probe IVF misses neighbours that sit
+# just across a cell boundary; probing the top-P centroids is the
+# standard recall fix (FAISS nprobe) and costs P/num_cells of the
+# corpus scan instead of 1/num_cells — still a partition prune, never
+# a full scan.  On the (weakly clustered) test embeddings recall@10
+# vs brute force measures 0.1 at P=1 and 0.4-0.5 at P=3
+# (tests/test_similarity.py pins the floor).
+N_PROBES = 3
+
+
+def ann_ivf_topk(spark, sf_dir):
+    """IVF-style search, multi-probe: rank the scale-derived coarse
+    centroids (seed-assigned cells) by query cosine, scan the
+    top-``N_PROBES`` cells, exact top-10 within the probed union.
+    The probe ORDERING is row membership, so centroids come from the
+    exact-decimal path (partition-order-proof)."""
+    e = read(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    k = recommended_ivf_cells(e.count())
+    assigned = _seed_assignment(e, k)
+    cents = _cell_centroids(assigned)
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qvec")
+    )
+    cent_cos = F.expr(_DOT.format(a="centroid", b="qvec")) / (
+        F.expr(_NORM.format(v="centroid")) * F.expr(_NORM.format(v="qvec"))
+    )
+    best_cells = (
+        cents.crossJoin(F.broadcast(q))
+        .withColumn("cc", cent_cos)
+        .orderBy(F.desc("cc"), F.asc("cell"))
+        .limit(N_PROBES)
+        .select("cell")
+    )
+    cos = F.expr(_DOT.format(a="embedding", b="qvec")) / (
+        F.expr(_NORM.format(v="embedding")) * F.expr(_NORM.format(v="qvec"))
+    )
+    return (
+        assigned.join(F.broadcast(best_cells), "cell")
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .withColumn("cosine_raw", cos)
+        .orderBy(F.desc("cosine_raw"), F.asc("vec_id"))
+        .limit(TOP_K)
+        .select(
+            "vec_id",
+            "label",
+            (F.floor(F.col("cosine_raw") * 10000 + 0.5) / 10000).alias("cosine"),
+        )
+    )
+
+
+ANN_IVF_SQL = f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+{_SEEDS_DUCK},
+a0 AS ({_ASSIGN_DUCK.format(cents='seeds')}),
+cent AS ({_CENTS_DUCK.format(src='a0')}),
+q AS (SELECT emb AS qvec FROM e WHERE vec_id = {QUERY_VEC_ID}),
+best AS (
+  SELECT cell
+  FROM cent, q
+  ORDER BY {_D_DOT.format(a='centroid', b='qvec')}
+           / ({_D_NORM.format(v='centroid')} * {_D_NORM.format(v='qvec')}) DESC,
+           cell ASC
+  LIMIT {N_PROBES}
+)
+SELECT a0.vec_id AS vec_id, a0.label AS label,
+       floor({_D_DOT.format(a='a0.emb', b='qvec')}
+             / ({_D_NORM.format(v='a0.emb')} * {_D_NORM.format(v='qvec')})
+             * 10000 + 0.5) / 10000 AS cosine
+FROM a0 JOIN best USING (cell), q
+WHERE a0.vec_id != {QUERY_VEC_ID}
+ORDER BY {_D_DOT.format(a='a0.emb', b='qvec')}
+         / ({_D_NORM.format(v='a0.emb')} * {_D_NORM.format(v='qvec')}) DESC,
+         vec_id ASC
+LIMIT {TOP_K}
+"""
+
+
+QUERIES = {
+    "ann_bruteforce_topk": (ann_bruteforce_topk, ANN_BRUTE_SQL),
+    "ivf_centroids": (ivf_centroids, IVF_CENTROIDS_SQL),
+    "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_SQL),
+}
+
+
+# -- refined IVF: k-means iterations on top of the seed assignment ----------
+# Raw seed-vector cells are weak; k-means refinement passes re-shape
+# the cells around the actual vector geometry and lift recall@10 at
+# P=N_PROBES_REFINED (floor-pinned in tests/test_similarity.py).
+# Each pass is shuffle-light at scale: the centroid table (k rows)
+# collapses to ONE broadcast array row, and the argmax assignment is a
+# single whole-stage-codegen projection per vector — no per-iteration
+# shuffle of the corpus; only the k-row centroid recompute aggregates
+# (posexplode + decimal mean, exact and engine-portable).  k =
+# recommended_ivf_cells(n) ~ sqrt(n), same plan at 10^9 vectors.
+KMEANS_ITERS = 2
+# Probe budget vs recall, measured on the test embeddings (weakly
+# clustered — the query's true neighbours span six labels, so recall
+# roughly tracks the scanned fraction P*(n/k)/n): at the floor-test
+# scale (n=500, k=10) P=4 measures 0.6-0.7, P=6 measures 0.9 —
+# 0.8-floor-pinned in tests/test_similarity.py.  On a genuinely
+# clustered corpus (the 100-TB case) neighbours concentrate in a few
+# cells and P stays fixed while k grows ~sqrt(n), giving the sublinear
+# scan IVF exists for; on weak clusters P is the recall dial and must
+# be tuned to the target.
+N_PROBES_REFINED = 6
+
+
+def ann_ivf_refined_topk(spark, sf_dir):
+    """IVF with k-means-refined cells: hash-ranked seed-vector init
+    (scale-derived k), two refinement passes (broadcast-array argmax
+    assignment), multi-probe top-``N_PROBES_REFINED`` search, exact
+    rerank."""
+    e = read(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    k = recommended_ivf_cells(e.count())
+    assigned = _seed_assignment(e, k)
     for _ in range(KMEANS_ITERS):
         cents = _cell_centroids(assigned)
         cents_arr = cents.agg(
@@ -335,47 +435,18 @@ def ann_ivf_refined_topk(spark, sf_dir):
 def _refined_sql() -> str:
     """DuckDB oracle: same arithmetic, expressed with unnest +
     row_number (the oracle needn't be the scale shape — values must
-    match, plans needn't)."""
-    assign = """
-SELECT a.vec_id, v.label, v.emb, a.cell
-FROM (
-  SELECT v.vec_id, c.cell,
-         row_number() OVER (
-           PARTITION BY v.vec_id
-           ORDER BY list_reduce(list_transform(range(1, len(v.emb) + 1),
-                                               i -> v.emb[i] * c.centroid[i]),
-                                (x, y) -> x + y)
-                    / (sqrt(list_reduce(list_transform(v.emb, x -> x * x), (x, y) -> x + y))
-                       * sqrt(list_reduce(list_transform(c.centroid, x -> x * x), (x, y) -> x + y)))
-                    DESC, c.cell ASC
-         ) AS rn
-  FROM e v, {cents} c
-) a
-JOIN e v USING (vec_id)
-WHERE a.rn = 1
-"""
-    cents = """
-SELECT cell, list(mean_v ORDER BY pos) AS centroid
-FROM (
-  SELECT cell, pos,
-         floor(CAST(sum(CAST(v AS DECIMAL(20,10))) AS DOUBLE)
-               / CAST(count(v) AS DOUBLE) * 10000 + 0.5) / 10000 AS mean_v
-  FROM (SELECT cell, generate_subscripts(emb, 1) AS pos, unnest(emb) AS v FROM {src})
-  GROUP BY cell, pos
-)
-GROUP BY cell
-"""
+    match, plans needn't).  Chain mirrors the Spark loop exactly:
+    seed-assign a0, KMEANS_ITERS x (cents -> reassign), final cents,
+    probe, scan."""
     return f"""
-WITH e AS (
-  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb,
-         CAST(label AS INTEGER) AS cell
-  FROM embeddings
-),
-c0 AS ({cents.format(src='e')}),
-a1 AS ({assign.format(vecs='e', cents='c0')}),
-c1 AS ({cents.format(src='a1')}),
-a2 AS ({assign.format(vecs='e', cents='c1')}),
-c2 AS ({cents.format(src='a2')}),
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+{_SEEDS_DUCK},
+a0 AS ({_ASSIGN_DUCK.format(cents='seeds')}),
+c0 AS ({_CENTS_DUCK.format(src='a0')}),
+a1 AS ({_ASSIGN_DUCK.format(cents='c0')}),
+c1 AS ({_CENTS_DUCK.format(src='a1')}),
+a2 AS ({_ASSIGN_DUCK.format(cents='c1')}),
+c2 AS ({_CENTS_DUCK.format(src='a2')}),
 q AS (SELECT emb AS qvec FROM e WHERE vec_id = {QUERY_VEC_ID}),
 best AS (
   SELECT cell FROM c2, q

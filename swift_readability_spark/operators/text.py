@@ -78,19 +78,24 @@ def readerable_score(spark, sf_dir):
     ).otherwise(F.lit(0.0))
     return d.select(
         "doc_id",
-        # _r, not round(): sqrt of an int is the identical double in
-        # both engines, but engine round() can still split on a .00005
-        # boundary (Spark rounds the decimal string, DuckDB the binary)
-        _r(score, 4).alias("readerable_score"),
+        # integer-scaled output (round 6): sqrt of an int is the
+        # identical IEEE double in both engines, and floor(x*1e4+0.5)
+        # lands on the same integer — emitting that integer as BIGINT
+        # (instead of dividing back to a double) keeps every double
+        # out of the driver's hash surface, the rule corpus_report's
+        # two red rounds established.
+        F.floor(score * 10000 + F.lit(0.5)).cast("bigint").alias(
+            "readerable_score_e4"
+        ),
         (score > 20).alias("readerable"),
     )
 
 
 READERABLE_SQL = """
 SELECT doc_id,
-       floor(CASE WHEN n_chars >= 140 THEN sqrt(n_chars - 140) ELSE 0.0 END
-             * 10000 + 0.5) / 10000
-         AS readerable_score,
+       CAST(floor(CASE WHEN n_chars >= 140 THEN sqrt(n_chars - 140) ELSE 0.0 END
+                  * 10000 + 0.5) AS BIGINT)
+         AS readerable_score_e4,
        (CASE WHEN n_chars >= 140 THEN sqrt(n_chars - 140) ELSE 0.0 END) > 20
          AS readerable
 FROM documents
@@ -162,17 +167,25 @@ def quality_score(spark, sf_dir):
     )
     n_punct = F.size(F.expr(r"regexp_extract_all(text, '[.,;:!?]', 0)")).cast("double")
     mean_word_len = F.length(F.regexp_replace("text", r"\s+", "")) / n_words
+    # Integer-scaled BIGINT outputs (round 6): the per-row doubles are
+    # deterministic (same IEEE op sequence over ints in both engines),
+    # but no double crosses the driver's hash surface any more — the
+    # rule corpus_report's two red rounds established.  floor(x*10^k
+    # + 0.5) lands on the same integer in both engines; emit it raw.
+    def _e(col, digits):
+        return F.floor(col * (10**digits) + F.lit(0.5)).cast("bigint")
+
     return d.select(
         "doc_id",
-        _r(mean_word_len, 4).alias("mean_word_len"),
-        _r(n_stop / n_words, 4).alias("stopword_ratio"),
-        _r(n_punct / F.length("text"), 6).alias("punct_density"),
-        _r(
+        _e(mean_word_len, 4).alias("mean_word_len_e4"),
+        _e(n_stop / n_words, 4).alias("stopword_ratio_e4"),
+        _e(n_punct / F.length("text"), 6).alias("punct_density_e6"),
+        _e(
             F.least(F.col("n_chars") / 1000.0, F.lit(1.0)) * 0.4
             + F.least(n_stop / n_words * 5.0, F.lit(1.0)) * 0.4
             + (1.0 - F.least(n_punct / F.length("text") * 20.0, F.lit(1.0))) * 0.2,
             4,
-        ).alias("quality"),
+        ).alias("quality_e4"),
     )
 
 
@@ -185,12 +198,12 @@ WITH f AS (
   FROM documents
 )
 SELECT doc_id,
-       floor(length(regexp_replace(text, '\\s+', '', 'g')) / n_words * 10000 + 0.5) / 10000 AS mean_word_len,
-       floor(n_stop / n_words * 10000 + 0.5) / 10000 AS stopword_ratio,
-       floor(n_punct / length(text) * 1000000 + 0.5) / 1000000 AS punct_density,
-       floor((least(n_chars / 1000.0, 1.0) * 0.4
+       CAST(floor(length(regexp_replace(text, '\\s+', '', 'g')) / n_words * 10000 + 0.5) AS BIGINT) AS mean_word_len_e4,
+       CAST(floor(n_stop / n_words * 10000 + 0.5) AS BIGINT) AS stopword_ratio_e4,
+       CAST(floor(n_punct / length(text) * 1000000 + 0.5) AS BIGINT) AS punct_density_e6,
+       CAST(floor((least(n_chars / 1000.0, 1.0) * 0.4
               + least(n_stop / n_words * 5.0, 1.0) * 0.4
-              + (1.0 - least(n_punct / length(text) * 20.0, 1.0)) * 0.2) * 10000 + 0.5) / 10000 AS quality
+              + (1.0 - least(n_punct / length(text) * 20.0, 1.0)) * 0.2) * 10000 + 0.5) AS BIGINT) AS quality_e4
 FROM f
 """
 
@@ -365,7 +378,9 @@ def curation_pipeline(spark, sf_dir):
     The composition every large-scale text pipeline runs; each stage is
     individually oracled above, and the composition is oracled here."""
     ident = lang_id(spark, sf_dir).filter(F.col("lang_pred") == F.col("lang"))
-    quality = quality_score(spark, sf_dir).filter(F.col("quality") >= 0.5)
+    # quality_e4 >= 5000 ⟺ the old rounded-double quality >= 0.5, but
+    # the membership gate now compares exact integers (round-6 rule)
+    quality = quality_score(spark, sf_dir).filter(F.col("quality_e4") >= 5000)
     d = read(spark, sf_dir, "documents")
     norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
     hashed = d.select("doc_id", F.md5(norm).alias("content_hash"))
@@ -398,7 +413,7 @@ gated AS (
   SELECT h.doc_id, h.content_hash
   FROM hashed h
   WHERE h.doc_id IN (SELECT doc_id FROM ident WHERE lang_pred = lang)
-    AND h.doc_id IN (SELECT doc_id FROM q WHERE quality >= 0.5)
+    AND h.doc_id IN (SELECT doc_id FROM q WHERE quality_e4 >= 5000)
 )
 SELECT doc_id, content_hash
 FROM (

@@ -29,6 +29,14 @@ SESSION_SCHEMA = T.StructType(
         T.StructField("total_value", T.DoubleType()),
     ]
 )
+# STATE SCHEMA v2 (round 5): total_value DoubleType -> total_cents
+# LongType.  applyInPandasWithState persists this struct inside the
+# streaming checkpoint, so a long-lived job restarting from a
+# checkpoint written by the v1 code would misread (or fail to decode)
+# its saved state — DISCARD existing streaming checkpoints when
+# upgrading across this boundary (ADVICE r05).  Bump _STATE_VERSION on
+# any future field change and keep this note current.
+_STATE_VERSION = 2
 _STATE_SCHEMA = T.StructType(
     [
         T.StructField("session_start", T.DoubleType()),

@@ -85,7 +85,8 @@ def test_corpus_report_shares_sum_to_one(spark, reg):
     rows = reg["corpus_report"](spark, SF).collect()
     assert {r.lang for r in rows} == {"en", "de", "fr", "es", "zh"}
     assert sum(r.n_docs for r in rows) == 500
-    assert abs(sum(r.corpus_share for r in rows) - 1.0) < 1e-3
+    # integer-only output (round 6): corpus_share_e4 = round(1e4*share)
+    assert abs(sum(r.corpus_share_e4 for r in rows) - 10000) <= len(rows)
     for r in rows:
         assert r.n_distinct <= r.n_docs
         assert r.total_tokens > 0

@@ -116,3 +116,51 @@ def test_sum64_and_sum128_agree_with_hugeint(spark, duck):
     ).fetchone()[0]
     assert row.s64 == duck_total
     assert row.s128 == duck_total
+
+
+def test_corr_zero_variance_stratum_is_null_both_engines(spark, duck, tmp_path):
+    """ADVICE r05: a market segment with zero variance in balance (or
+    spend) must yield NULL corr in BOTH engines — never Infinity/NaN
+    from the x/0.0 division (Spark) or an engine-specific inf/NULL
+    (DuckDB)."""
+    from swift_readability_spark.operators.relational import (
+        CUSTOMER_CORR_SQL,
+        customer_value_correlation,
+    )
+
+    # DEGEN: three customers, identical balances (variance 0), varying
+    # spend.  LIVE: varying balances and spends (corr well-defined).
+    customers = [
+        (1, "DEGEN", 100.00), (2, "DEGEN", 100.00), (3, "DEGEN", 100.00),
+        (4, "LIVE", 10.00), (5, "LIVE", 20.00), (6, "LIVE", 30.00),
+    ]
+    orders = [
+        (10, 1, 50.00), (11, 2, 75.00), (12, 3, 99.00),
+        (13, 4, 11.00), (14, 5, 22.00), (15, 6, 35.00),
+    ]
+    spark.createDataFrame(
+        customers, "c_custkey bigint, c_mktsegment string, c_acctbal double"
+    ).write.parquet(f"{tmp_path}/customer.parquet")
+    spark.createDataFrame(
+        orders, "o_orderkey bigint, o_custkey bigint, o_totalprice double"
+    ).write.parquet(f"{tmp_path}/orders.parquet")
+
+    got = {
+        r["c_mktsegment"]: r["bal_spend_corr"]
+        for r in customer_value_correlation(spark, str(tmp_path)).collect()
+    }
+    assert got["DEGEN"] is None
+    assert got["LIVE"] is not None and abs(got["LIVE"] - 1.0) < 0.05
+
+    duck.sql(
+        f"CREATE OR REPLACE VIEW customer AS SELECT * FROM read_parquet('{tmp_path}/customer.parquet/*.parquet')"
+    )
+    duck.sql(
+        f"CREATE OR REPLACE VIEW orders AS SELECT * FROM read_parquet('{tmp_path}/orders.parquet/*.parquet')"
+    )
+    oracle = {
+        seg: corr
+        for seg, _n, corr, _cov in duck.sql(CUSTOMER_CORR_SQL).fetchall()
+    }
+    assert oracle["DEGEN"] is None
+    assert oracle["LIVE"] == got["LIVE"]
