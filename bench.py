@@ -149,36 +149,39 @@ def main() -> None:
     # service threads oversubscribe the machine, which measures box
     # saturation, not executor scaling.  All levels are reported.
     lo_level, hi_level = max(CPUS // 8, 1), max(CPUS // 2, 1)
-    # symmetric estimator: a FIXED number of interleaved samples per
-    # level, taken unconditionally (no retry-on-low-reading, which
-    # could only ever inflate the result).  Max over samples remains
-    # the per-level estimator: on a shared host contention only slows
-    # a run down, so the max approximates the uncontended rate — and
-    # it is applied identically to both levels.
-    samples_per_level = int(os.environ.get("SPARK_GRAFT_SCALING_SAMPLES", "2"))
-    schedule = [lo_level, hi_level] * samples_per_level + [CPUS]
+    # MEDIAN-OF-PAIRS estimator (VERDICT r05 item 6): the round of
+    # record previously carried whatever single pair the run produced,
+    # so one noisy host window could file a sub-0.8 number even when
+    # the same session's other readings were fine (r05: driver 0.741
+    # vs same-round readings 0.805/0.887/1.002/0.993).  Now each
+    # sample is a back-to-back (lo, hi) PAIR — both levels share one
+    # noise window, so contention hits the ratio symmetrically — and
+    # the reported efficiency is the MEDIAN across pairs, which a
+    # single bad window cannot move.  No retry-on-low-reading: the
+    # pair count is fixed up front.
+    samples_per_level = int(os.environ.get("SPARK_GRAFT_SCALING_SAMPLES", "3"))
     throughput: dict[int, float] = {}
-    n_docs = 0
-    for cores in schedule:
-        if cores == CPUS:
-            # headline run: 64k docs, best-of-2 (cross-round comparable)
-            wall, n_docs = _run_extraction(cores, SF_DIR)
-            timings["extract_metadata"] = round(wall, 3)
-            thr = n_docs / wall
-        else:
-            # efficiency pair: larger workload (SCALING_PAIR_DOCS note
-            # above), SYMMETRIC best-of-2 per session x interleaved
-            # sessions per level; max damps shared-host contention
+    pair_efficiencies: list[float] = []
+    for _s in range(samples_per_level):
+        thr_pair: dict[int, float] = {}
+        for cores in (lo_level, hi_level):
             wall, n = _run_extraction(
                 cores, SF_DIR, min_docs=SCALING_PAIR_DOCS, timed_reps=2
             )
-            thr = n / wall
-        if thr > throughput.get(cores, 0.0):
-            throughput[cores] = thr
+            thr_pair[cores] = n / wall
+            if thr_pair[cores] > throughput.get(cores, 0.0):
+                throughput[cores] = thr_pair[cores]
+        pair_efficiencies.append(
+            (thr_pair[hi_level] / thr_pair[lo_level]) / (hi_level / lo_level)
+        )
+    # headline run: 64k docs, best-of-2 (cross-round comparable)
+    wall, n_docs = _run_extraction(CPUS, SF_DIR)
+    timings["extract_metadata"] = round(wall, 3)
+    throughput[CPUS] = n_docs / wall
 
-    efficiency = (throughput[hi_level] / throughput[lo_level]) / (
-        hi_level / lo_level
-    )
+    import statistics
+
+    efficiency = statistics.median(pair_efficiencies)
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -191,9 +194,12 @@ def main() -> None:
         "scaling_pair": f"local[{lo_level}] -> local[{hi_level}]",
         "scaling_samples_per_level": samples_per_level,
         "scaling_pair_docs": SCALING_PAIR_DOCS,
-        # raw = what was measured (can exceed 1.0 through shared-host
-        # noise or superlinear cache effects); the clamped headline is
-        # reported alongside, never instead
+        # every per-pair reading, in measurement order (full disclosure
+        # behind the median)
+        "scaling_pair_efficiencies": [round(x, 3) for x in pair_efficiencies],
+        # raw = median of the per-pair readings (can exceed 1.0 through
+        # shared-host noise or superlinear cache effects); the clamped
+        # headline is reported alongside, never instead
         "scaling_efficiency_raw": round(efficiency, 3),
         "scaling_efficiency": round(min(efficiency, 1.0), 3),
     }

@@ -249,3 +249,16 @@ def test_build_training_set_one_corpus_pass_pruned_eval(spark, reg):
     plan = _plan(reg["build_training_set"](spark, SF))
     assert plan.count("MapInArrow") == 2
     assert "LessThan(doc_id,20)" in plan.replace(" ", "")
+
+
+def test_ann_ivf_corpus_side_never_sort_merges(spark, reg):
+    """Scale-derived IVF (r06): the corpus is only ever joined via
+    broadcast — the probed-cell semi join is a BroadcastHashJoin and
+    the seed/query singleton joins are broadcast nested loops; a
+    SortMergeJoin would mean the corpus shuffled on a join key."""
+    for q in ("ann_ivf_topk", "ann_ivf_refined_topk"):
+        plan = _plan(reg[q](spark, SF))
+        assert "SortMergeJoin" not in plan, q
+        assert "BroadcastHashJoin" in plan, q
+    plan = _plan(reg["ivf_centroids"](spark, SF))
+    assert "SortMergeJoin" not in plan
