@@ -38,6 +38,7 @@ DRIVER_WINDOW_FIRST = (
     "ivf_centroids",
     "ann_ivf_topk",
     "ann_ivf_refined_topk",
+    "token_set_similarity",
     # (c) oldest driver evidence: r03-era rows
     "events_dedup_replayed",
     "comma_score",
@@ -69,7 +70,6 @@ DRIVER_WINDOW_FIRST = (
     "event_props_extract",
     "user_event_type_map",
     "q18_large_volume_customers",
-    "arrays_setops_demo",
     "asof_last_purchase",
     # (d) flagship continuity
     "extract_metadata",

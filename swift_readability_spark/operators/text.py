@@ -319,7 +319,13 @@ QUERIES = {
 def token_set_similarity(spark, sf_dir):
     """The reference's textSimilarity (ArticleGrabber.swift:667-703) as
     a columnar set-difference: similarity of every doc against doc 0 =
-    1 - len(join(tokensB \\ tokensA)) / len(join(tokensB))."""
+    1 - len(join(tokensB \\ tokensA)) / len(join(tokensB)).
+
+    Round 6: ``similarity_e4`` is a pure-integer rational — both
+    operands are integer string lengths, so round(1e4*(b-a)/b) =
+    ((b-a)*20000 + b) DIV (2b), BIGINT end to end (the corpus_report /
+    tfidf recipe; no double ever crosses the driver hash).  b = 0 ⇒
+    similarity 1.0 ⇒ 10000, mirroring the old double branch."""
     d = read(spark, sf_dir, "documents")
     toks = F.expr(
         "filter(split(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ')), ' +'),"
@@ -331,25 +337,19 @@ def token_set_similarity(spark, sf_dir):
     )
     joined_len = "length(array_join({arr}, ' '))"
     uniq = "filter(tokens, t -> NOT array_contains(ref_tokens, t))"
+    b = joined_len.format(arr="tokens")
+    a = joined_len.format(arr=uniq)
     return (
         docs.crossJoin(F.broadcast(ref))
         .withColumn(
-            "similarity",
-            # _r, not round(): the ratio is the identical double in
-            # both engines (ints in, one division), but engine round()
-            # diverges on string-vs-binary midpoints (text.py::_r)
-            _r(
-                1
-                - F.when(
-                    F.expr(joined_len.format(arr="tokens")) == 0, F.lit(0.0)
-                ).otherwise(
-                    F.expr(joined_len.format(arr=uniq))
-                    / F.expr(joined_len.format(arr="tokens"))
-                ),
-                4,
+            "similarity_e4",
+            F.expr(
+                f"CASE WHEN {b} = 0 THEN CAST(10000 AS BIGINT)"
+                f" ELSE (CAST(({b}) - ({a}) AS BIGINT) * 20000 + ({b}))"
+                f" div (2 * CAST({b} AS BIGINT)) END"
             ),
         )
-        .select("doc_id", "similarity")
+        .select("doc_id", "similarity_e4")
     )
 
 
@@ -360,12 +360,18 @@ WITH t AS (
                      x -> x <> '') AS tokens
   FROM documents
 ),
-r AS (SELECT tokens AS ref_tokens FROM t WHERE doc_id = 0)
+r AS (SELECT tokens AS ref_tokens FROM t WHERE doc_id = 0),
+l AS (
+  SELECT doc_id,
+         coalesce(length(array_to_string(tokens, ' ')), 0) AS b,
+         coalesce(length(array_to_string(list_filter(tokens, x -> NOT list_contains(ref_tokens, x)), ' ')), 0) AS a
+  FROM t, r
+)
 SELECT doc_id,
-       floor((1 - CASE WHEN coalesce(length(array_to_string(tokens, ' ')), 0) = 0 THEN 0.0
-                       ELSE coalesce(length(array_to_string(list_filter(tokens, x -> NOT list_contains(ref_tokens, x)), ' ')), 0)
-                            / length(array_to_string(tokens, ' ')) END) * 10000 + 0.5) / 10000 AS similarity
-FROM t, r
+       CAST(CASE WHEN b = 0 THEN 10000
+                 ELSE (CAST(b - a AS BIGINT) * 20000 + b) // (2 * CAST(b AS BIGINT)) END
+            AS BIGINT) AS similarity_e4
+FROM l
 """
 
 QUERIES["token_set_similarity"] = (token_set_similarity, TOKEN_SET_SIMILARITY_SQL)
