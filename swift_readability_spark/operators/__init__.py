@@ -39,6 +39,8 @@ DRIVER_WINDOW_FIRST = (
     "ann_ivf_topk",
     "ann_ivf_refined_topk",
     "token_set_similarity",
+    "source_cap",
+    "source_cap_stats",
     # (c) oldest driver evidence: r03-era rows
     "events_dedup_replayed",
     "comma_score",
@@ -64,8 +66,6 @@ DRIVER_WINDOW_FIRST = (
     # (c) r04-era rows
     "customers_without_orders",
     "order_priority_histogram",
-    "union_dedup_keys",
-    "repeat_customer_keys",
     "order_aging",
     "event_props_extract",
     "user_event_type_map",

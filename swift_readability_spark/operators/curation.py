@@ -606,8 +606,145 @@ QUALIFY rnk <= {STRATA_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# per-source frequency cap (domain cap)
+# ---------------------------------------------------------------------------
+SOURCE_CAP = 20  # max docs kept per source
+SOURCE_CAP_OVERSAMPLE = 8  # candidate pre-filter factor (see stratified)
+
+
+def source_cap(spark, sf_dir):
+    """Per-source frequency cap: keep at most ``SOURCE_CAP`` documents
+    per ``source``, deterministic under re-runs (pure function of
+    doc_id, never rand()).  The C4/RefinedWeb-style domain cap — no
+    single domain may dominate a web-scale training corpus.
+
+    Scale shape — the stratified_sample machinery with a pass-through
+    branch: (1) per-source counts aggregate map-side; broadcast while
+    the distinct-source count fits the broadcast budget (20 here; at
+    crawl domain cardinality ~1e8 swap the broadcast for a plain
+    source-keyed join — agg, join and window all share the source
+    partitioning, so AQE coalesces to one Exchange of the big side).
+    (2) Docs from under-cap sources pass through WITHOUT entering any
+    window.  (3) Over-cap sources take the hash-bucket pre-filter
+    (~OVERSAMPLE*CAP candidates per source regardless of source size —
+    heavy-hitter-proof: a 1e9-doc domain still sends ~160 rows to its
+    window task), then the exact top-CAP-by-hash window on candidates
+    only, with the loud assert_true undershoot floor ("no silent
+    caps")."""
+    d = read(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count("*").alias("n_source"))
+    joined = d.join(F.broadcast(counts), "source")
+    under = joined.filter(F.col("n_source") <= SOURCE_CAP).select(
+        "doc_id", "source"
+    )
+    bucket = f"pmod({_spark_hash60('CAST(doc_id AS STRING)')}, {_STRATA_BUCKETS})"
+    thresh = (
+        f"least(CAST({_STRATA_BUCKETS} AS BIGINT),"
+        f" CAST(({SOURCE_CAP_OVERSAMPLE * SOURCE_CAP}L * {_STRATA_BUCKETS}"
+        f" + n_source - 1) DIV n_source AS BIGINT))"
+    )
+    cand = (
+        joined.filter(F.col("n_source") > SOURCE_CAP)
+        .withColumn("bucket", F.expr(bucket))
+        .filter(F.col("bucket") < F.expr(thresh))
+    )
+    n_cand_w = Window.partitionBy("source")
+    guarded = (
+        cand.withColumn("n_cand", F.count("*").over(n_cand_w))
+        .filter(
+            F.assert_true(
+                F.col("n_cand") >= F.lit(SOURCE_CAP),
+                F.concat(
+                    F.lit("source_cap: oversample pre-filter kept "),
+                    F.col("n_cand").cast("string"),
+                    F.lit(" candidates for source '"),
+                    F.col("source"),
+                    F.lit("' of "),
+                    F.col("n_source").cast("string"),
+                    F.lit(
+                        f" docs < CAP={SOURCE_CAP} — raise"
+                        f" SOURCE_CAP_OVERSAMPLE (now {SOURCE_CAP_OVERSAMPLE})"
+                    ),
+                ),
+            ).isNull()
+        )
+        .drop("n_cand")
+    )
+    w = Window.partitionBy("source").orderBy("bucket", "doc_id")
+    capped = (
+        guarded.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= SOURCE_CAP)
+        .select("doc_id", "source")
+    )
+    return under.unionByName(capped)
+
+
+SOURCE_CAP_SQL = f"""
+WITH counts AS (SELECT source, count(*) AS n_source FROM documents GROUP BY source),
+under AS (
+  SELECT d.doc_id, d.source FROM documents d JOIN counts USING (source)
+  WHERE n_source <= {SOURCE_CAP}
+),
+cand AS (
+  SELECT d.doc_id, d.source,
+         {_duck_hash60('CAST(d.doc_id AS VARCHAR)')} % {_STRATA_BUCKETS} AS bucket
+  FROM documents d JOIN counts USING (source)
+  WHERE n_source > {SOURCE_CAP}
+    AND {_duck_hash60('CAST(d.doc_id AS VARCHAR)')} % {_STRATA_BUCKETS}
+        < least({_STRATA_BUCKETS},
+                ({SOURCE_CAP_OVERSAMPLE * SOURCE_CAP} * {_STRATA_BUCKETS}
+                 + n_source - 1) // n_source)
+),
+capped AS (
+  SELECT doc_id, source FROM cand
+  QUALIFY row_number() OVER (PARTITION BY source ORDER BY bucket, doc_id)
+          <= {SOURCE_CAP}
+)
+SELECT doc_id, source FROM under
+UNION ALL
+SELECT doc_id, source FROM capped
+"""
+
+
+def source_cap_stats(spark, sf_dir):
+    """The audit for source_cap ("no silent caps" rule): how many
+    sources exceed the cap and how much the cap removes.  Pure integer
+    outputs from the per-source count aggregate — one map-side partial
+    agg and a single-row rollup, no window, no join."""
+    d = read(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count("*").alias("n_source"))
+    kept = F.least(F.col("n_source"), F.lit(SOURCE_CAP))
+    return counts.agg(
+        F.count("*").cast("bigint").alias("n_sources"),
+        F.sum(F.when(F.col("n_source") > SOURCE_CAP, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_over_cap"),
+        F.sum("n_source").cast("bigint").alias("n_docs"),
+        F.sum(kept).cast("bigint").alias("n_kept"),
+        (F.sum("n_source") - F.sum(kept)).cast("bigint").alias("n_dropped"),
+        F.max("n_source").cast("bigint").alias("max_source_docs"),
+    )
+
+
+SOURCE_CAP_STATS_SQL = f"""
+WITH counts AS (SELECT source, count(*) AS n_source FROM documents GROUP BY source)
+SELECT CAST(count(*) AS BIGINT) AS n_sources,
+       CAST(sum(CASE WHEN n_source > {SOURCE_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_over_cap,
+       CAST(sum(n_source) AS BIGINT) AS n_docs,
+       CAST(sum(least(n_source, {SOURCE_CAP})) AS BIGINT) AS n_kept,
+       CAST(sum(n_source) - sum(least(n_source, {SOURCE_CAP})) AS BIGINT)
+         AS n_dropped,
+       CAST(max(n_source) AS BIGINT) AS max_source_docs
+FROM counts
+"""
+
+
 QUERIES = {
     "paragraph_dedup": (paragraph_dedup, PARAGRAPH_DEDUP_SQL),
+    "source_cap": (source_cap, SOURCE_CAP_SQL),
+    "source_cap_stats": (source_cap_stats, SOURCE_CAP_STATS_SQL),
     "stratified_sample": (stratified_sample, STRATIFIED_SAMPLE_SQL),
     "chunk_dedup_stats": (chunk_dedup_stats, CHUNK_DEDUP_STATS_SQL),
     "pack_sequences": (pack_sequences, PACK_SEQUENCES_SQL),

@@ -204,3 +204,51 @@ def test_stratified_sample_undershoot_raises_loudly(spark, tmp_path):
     ).write.parquet(f"{d}/documents.parquet")
     with pytest.raises(SparkRuntimeException, match="STRATA_OVERSAMPLE"):
         stratified_sample(spark, d).collect()
+
+
+def test_source_cap_caps_every_source_exactly(spark, reg):
+    """On the driver corpus every source exceeds the cap, so each must
+    keep exactly SOURCE_CAP docs, deterministically under re-run."""
+    from collections import Counter
+
+    from swift_readability_spark.operators.curation import SOURCE_CAP
+
+    rows = reg["source_cap"](spark, SF).collect()
+    per = Counter(r.source for r in rows)
+    n_sources = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("source")
+        .distinct()
+        .count()
+    )
+    assert len(per) == n_sources
+    assert all(v == SOURCE_CAP for v in per.values())
+    again = {(r.doc_id, r.source) for r in reg["source_cap"](spark, SF).collect()}
+    assert again == {(r.doc_id, r.source) for r in rows}
+
+
+def test_source_cap_under_cap_source_passes_through(spark, tmp_path):
+    """A source with fewer docs than the cap keeps every doc and never
+    enters the window/guard path."""
+    from swift_readability_spark.operators.curation import SOURCE_CAP, source_cap
+
+    rows = [(i, f"text {i}", "en", "small" if i < 5 else "big", 10)
+            for i in range(5 + SOURCE_CAP + 15)]
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(f"{d}/documents.parquet")
+    got = source_cap(spark, d).collect()
+    small = [r for r in got if r.source == "small"]
+    big = [r for r in got if r.source == "big"]
+    assert len(small) == 5          # all pass through
+    assert len(big) == SOURCE_CAP   # capped
+
+
+def test_source_cap_stats_conservation(spark, reg):
+    """n_kept + n_dropped == n_docs, and n_kept equals the actual
+    source_cap output cardinality (audit is non-vacuous)."""
+    stats = reg["source_cap_stats"](spark, SF).collect()[0]
+    assert stats.n_kept + stats.n_dropped == stats.n_docs
+    assert stats.n_over_cap > 0  # non-vacuous on the driver corpus
+    assert reg["source_cap"](spark, SF).count() == stats.n_kept

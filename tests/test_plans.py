@@ -262,3 +262,18 @@ def test_ann_ivf_corpus_side_never_sort_merges(spark, reg):
         assert "BroadcastHashJoin" in plan, q
     plan = _plan(reg["ivf_centroids"](spark, SF))
     assert "SortMergeJoin" not in plan
+
+
+def test_source_cap_broadcasts_counts_prefilter(spark, reg):
+    """Domain-cap plan shape: counts broadcast, the pass-through branch
+    never windows, and the hash-bucket pre-filter sits below the window
+    so a heavy-hitter domain sends ~OVERSAMPLE*CAP rows to its window
+    task, not its full doc set."""
+    plan = _plan(reg["source_cap"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    # the bucket pre-filter threshold is pushed into the join condition
+    # (Catalyst folds OVERSAMPLE*CAP*BUCKETS = 160e6 into the ceil-div)
+    assert "least(1000000" in plan
+    # top-CAP applies before the full per-source sort materializes
+    assert "WindowGroupLimit" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
