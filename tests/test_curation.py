@@ -252,3 +252,49 @@ def test_source_cap_stats_conservation(spark, reg):
     assert stats.n_kept + stats.n_dropped == stats.n_docs
     assert stats.n_over_cap > 0  # non-vacuous on the driver corpus
     assert reg["source_cap"](spark, SF).count() == stats.n_kept
+
+
+def test_source_cap_matches_python_mirror(spark, tmp_path):
+    """Exact-set pin across a spread of source sizes (1, CAP-1, CAP,
+    CAP+1, 3*CAP): mirror the operator's md5 bucket in Python and check
+    the kept set exactly — under-cap pass-through, the boundary at CAP,
+    and hash-rank trimming in one corpus.  (Valid whenever the guard
+    passes: every global top-CAP doc has a bucket below the pre-filter
+    threshold, so filtering cannot change the window's top-CAP.)"""
+    import hashlib
+
+    from swift_readability_spark.operators.curation import (
+        _STRATA_BUCKETS,
+        SOURCE_CAP,
+        source_cap,
+    )
+
+    sizes = {
+        "s1": 1,
+        "s19": SOURCE_CAP - 1,
+        "s20": SOURCE_CAP,
+        "s21": SOURCE_CAP + 1,
+        "s60": 3 * SOURCE_CAP,
+    }
+    rows, i = [], 0
+    for src, n in sizes.items():
+        for _ in range(n):
+            rows.append((i, f"text {i}", "en", src, 10))
+            i += 1
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(f"{d}/documents.parquet")
+
+    def bucket(did: int) -> int:
+        return int(hashlib.md5(str(did).encode()).hexdigest()[:15], 16) % _STRATA_BUCKETS
+
+    expected = set()
+    for src, n in sizes.items():
+        ids = [r[0] for r in rows if r[3] == src]
+        if n <= SOURCE_CAP:
+            expected |= set(ids)
+        else:
+            expected |= set(sorted(ids, key=lambda x: (bucket(x), x))[:SOURCE_CAP])
+    got = {r.doc_id for r in source_cap(spark, d).collect()}
+    assert got == expected
