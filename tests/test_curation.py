@@ -298,3 +298,49 @@ def test_source_cap_matches_python_mirror(spark, tmp_path):
             expected |= set(sorted(ids, key=lambda x: (bucket(x), x))[:SOURCE_CAP])
     got = {r.doc_id for r in source_cap(spark, d).collect()}
     assert got == expected
+
+
+def test_source_cap_heavy_hitter_candidate_bound(spark, tmp_path):
+    """The claim the plan pin implies, measured: a 20k-doc source's
+    window input is the bucket-filtered candidate set (~OVERSAMPLE*CAP
+    in expectation, here asserted < 10x that), never the full source.
+    Also pins correctness on the skewed corpus: giant source capped to
+    CAP, tiny sources pass through."""
+    import hashlib
+
+    from swift_readability_spark.operators.curation import (
+        _STRATA_BUCKETS,
+        SOURCE_CAP,
+        SOURCE_CAP_OVERSAMPLE,
+        source_cap,
+    )
+
+    n_giant = 20_000
+    rows = [(i, f"t{i}", "en", "giant", 5) for i in range(n_giant)]
+    rows += [(n_giant + j, f"t{j}", "en", f"tiny{j % 3}", 5) for j in range(9)]
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(f"{d}/documents.parquet")
+
+    got = source_cap(spark, d).collect()
+    per = {}
+    for r in got:
+        per[r.source] = per.get(r.source, 0) + 1
+    assert per["giant"] == SOURCE_CAP
+    assert per["tiny0"] == 3 and per["tiny1"] == 3 and per["tiny2"] == 3
+
+    # mirror the operator's pre-filter: candidates entering the window
+    thresh = min(
+        _STRATA_BUCKETS,
+        (SOURCE_CAP_OVERSAMPLE * SOURCE_CAP * _STRATA_BUCKETS + n_giant - 1)
+        // n_giant,
+    )
+    n_cand = sum(
+        1
+        for i in range(n_giant)
+        if int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) % _STRATA_BUCKETS
+        < thresh
+    )
+    assert SOURCE_CAP <= n_cand < 10 * SOURCE_CAP_OVERSAMPLE * SOURCE_CAP
+    assert n_cand < n_giant // 10  # the window never sees the bulk
