@@ -631,8 +631,15 @@ def source_cap(spark, sf_dir):
     heavy-hitter-proof: a 1e9-doc domain still sends ~160 rows to its
     window task), then the exact top-CAP-by-hash window on candidates
     only, with the loud assert_true undershoot floor ("no silent
-    caps")."""
-    d = read(spark, sf_dir, "documents")
+    caps").
+
+    NULL sources group under the '' sentinel (both engines, operator
+    AND audit): an inner join on a nullable key would silently drop
+    null-source docs while the groupBy-based audit still counted them
+    — the conservation law n_kept == |output| would break."""
+    d = read(spark, sf_dir, "documents").withColumn(
+        "source", F.coalesce("source", F.lit(""))
+    )
     counts = d.groupBy("source").agg(F.count("*").alias("n_source"))
     joined = d.join(F.broadcast(counts), "source")
     under = joined.filter(F.col("n_source") <= SOURCE_CAP).select(
@@ -681,15 +688,16 @@ def source_cap(spark, sf_dir):
 
 
 SOURCE_CAP_SQL = f"""
-WITH counts AS (SELECT source, count(*) AS n_source FROM documents GROUP BY source),
+WITH d AS (SELECT doc_id, coalesce(source, '') AS source FROM documents),
+counts AS (SELECT source, count(*) AS n_source FROM d GROUP BY source),
 under AS (
-  SELECT d.doc_id, d.source FROM documents d JOIN counts USING (source)
+  SELECT d.doc_id, d.source FROM d JOIN counts USING (source)
   WHERE n_source <= {SOURCE_CAP}
 ),
 cand AS (
   SELECT d.doc_id, d.source,
          {_duck_hash60('CAST(d.doc_id AS VARCHAR)')} % {_STRATA_BUCKETS} AS bucket
-  FROM documents d JOIN counts USING (source)
+  FROM d JOIN counts USING (source)
   WHERE n_source > {SOURCE_CAP}
     AND {_duck_hash60('CAST(d.doc_id AS VARCHAR)')} % {_STRATA_BUCKETS}
         < least({_STRATA_BUCKETS},
@@ -711,8 +719,12 @@ def source_cap_stats(spark, sf_dir):
     """The audit for source_cap ("no silent caps" rule): how many
     sources exceed the cap and how much the cap removes.  Pure integer
     outputs from the per-source count aggregate — one map-side partial
-    agg and a single-row rollup, no window, no join."""
-    d = read(spark, sf_dir, "documents")
+    agg and a single-row rollup, no window, no join.  NULL sources
+    group under '' exactly as in source_cap, so n_kept == |source_cap
+    output| holds on any corpus."""
+    d = read(spark, sf_dir, "documents").withColumn(
+        "source", F.coalesce("source", F.lit(""))
+    )
     counts = d.groupBy("source").agg(F.count("*").alias("n_source"))
     kept = F.least(F.col("n_source"), F.lit(SOURCE_CAP))
     return counts.agg(
@@ -728,7 +740,8 @@ def source_cap_stats(spark, sf_dir):
 
 
 SOURCE_CAP_STATS_SQL = f"""
-WITH counts AS (SELECT source, count(*) AS n_source FROM documents GROUP BY source)
+WITH d AS (SELECT coalesce(source, '') AS source FROM documents),
+counts AS (SELECT source, count(*) AS n_source FROM d GROUP BY source)
 SELECT CAST(count(*) AS BIGINT) AS n_sources,
        CAST(sum(CASE WHEN n_source > {SOURCE_CAP} THEN 1 ELSE 0 END) AS BIGINT)
          AS n_over_cap,

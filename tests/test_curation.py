@@ -344,3 +344,25 @@ def test_source_cap_heavy_hitter_candidate_bound(spark, tmp_path):
     )
     assert SOURCE_CAP <= n_cand < 10 * SOURCE_CAP_OVERSAMPLE * SOURCE_CAP
     assert n_cand < n_giant // 10  # the window never sees the bulk
+
+
+def test_source_cap_null_source_groups_not_dropped(spark, tmp_path):
+    """NULL sources group under '' in BOTH the operator and its audit:
+    an inner join on the nullable key would silently drop them while
+    the groupBy audit counted them — conservation would break."""
+    from swift_readability_spark.operators.curation import (
+        source_cap,
+        source_cap_stats,
+    )
+
+    rows = [(i, f"t{i}", "en", None if i < 4 else "s", 5) for i in range(10)]
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(f"{d}/documents.parquet")
+    got = source_cap(spark, d).collect()
+    assert {r.doc_id for r in got} == set(range(10))  # all under cap
+    assert {r.source for r in got if r.doc_id < 4} == {""}
+    stats = source_cap_stats(spark, d).collect()[0]
+    assert stats.n_sources == 2
+    assert stats.n_kept == len(got)
