@@ -533,8 +533,14 @@ def stratified_sample(spark, sf_dir):
     keeps ~``STRATA_OVERSAMPLE``*K candidates per stratum map-side (no
     shuffle of the big side), (3) the exact top-K-by-hash window runs
     on candidates only.  Strata smaller than K keep everything (the
-    threshold saturates)."""
-    d = read(spark, sf_dir, "documents")
+    threshold saturates).
+
+    NULL languages group under the '' sentinel (both engines): an
+    inner join on the nullable key would silently drop the
+    unknown-language stratum instead of sampling it."""
+    d = read(spark, sf_dir, "documents").withColumn(
+        "lang", F.coalesce("lang", F.lit(""))
+    )
     counts = d.groupBy("lang").agg(F.count("*").alias("n_stratum"))
     bucket = f"pmod({_spark_hash60('CAST(doc_id AS STRING)')}, {_STRATA_BUCKETS})"
     # integer ceil-div keeps both engines bit-identical (no float ceil)
@@ -588,11 +594,12 @@ def stratified_sample(spark, sf_dir):
 
 
 STRATIFIED_SAMPLE_SQL = f"""
-WITH counts AS (SELECT lang, count(*) AS n_stratum FROM documents GROUP BY lang),
+WITH d AS (SELECT doc_id, coalesce(lang, '') AS lang FROM documents),
+counts AS (SELECT lang, count(*) AS n_stratum FROM d GROUP BY lang),
 cand AS (
   SELECT d.doc_id, d.lang,
          {_duck_hash60('CAST(d.doc_id AS VARCHAR)')} % {_STRATA_BUCKETS} AS bucket
-  FROM documents d JOIN counts USING (lang)
+  FROM d JOIN counts USING (lang)
   WHERE {_duck_hash60('CAST(d.doc_id AS VARCHAR)')} % {_STRATA_BUCKETS}
         < least({_STRATA_BUCKETS},
                 ({STRATA_OVERSAMPLE * STRATA_K} * {_STRATA_BUCKETS}

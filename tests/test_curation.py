@@ -366,3 +366,18 @@ def test_source_cap_null_source_groups_not_dropped(spark, tmp_path):
     stats = source_cap_stats(spark, d).collect()[0]
     assert stats.n_sources == 2
     assert stats.n_kept == len(got)
+
+
+def test_stratified_sample_null_lang_stratum_sampled(spark, tmp_path):
+    """NULL languages form the '' stratum instead of being silently
+    dropped by the inner count join."""
+    from swift_readability_spark.operators.curation import stratified_sample
+
+    rows = [(i, f"t{i}", None if i < 6 else "en", "s", 5) for i in range(12)]
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(f"{d}/documents.parquet")
+    got = stratified_sample(spark, d).collect()
+    assert {r.doc_id for r in got} == set(range(12))  # both strata < K
+    assert {r.lang for r in got if r.doc_id < 6} == {""}
