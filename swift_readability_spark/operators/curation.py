@@ -135,8 +135,8 @@ FROM c LEFT JOIN k ON c.doc_id = k.doc_id
 PACK_BUDGET = 256  # tokens per packed training sequence
 PACK_BUCKETS = 8  # parallel packing streams
 
-_TOKENS_SPARK = "size(split(trim(text), '\\\\s+'))"
-_TOKENS_DUCK = "len(string_split_regex(trim(text), '\\s+'))"
+_TOKENS_SPARK = "size(split(trim(text), '[ \\\\t\\\\n\\\\x0b\\\\f\\\\r]+'))"
+_TOKENS_DUCK = "len(string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+'))"
 
 
 def pack_sequences(spark, sf_dir):
@@ -302,7 +302,7 @@ def _corpus_report_per_lang(spark, sf_dir):
     partial agg) producing per-language doc counts, token totals,
     distinct-content counts and the exact text-length sum."""
     d = read(spark, sf_dir, "documents")
-    norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    norm = F.lower(F.trim(F.regexp_replace("text", "[ \t\n\x0b\f\r]+", " ")))
     return (
         d.select(
             "lang",
@@ -362,7 +362,7 @@ _CORPUS_REPORT_PER_SQL = f"""
   SELECT lang,
          count(*) AS n_docs,
          sum(CAST({_TOKENS_DUCK} AS BIGINT)) AS total_tokens,
-         count(DISTINCT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))) AS n_distinct,
+         count(DISTINCT md5(lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))))) AS n_distinct,
          {duck_sum128('CAST(length(text) AS BIGINT)')} AS _sum_len
   FROM documents
   GROUP BY lang

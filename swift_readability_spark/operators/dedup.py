@@ -95,7 +95,7 @@ def dedup_exact(spark, sf_dir):
     representative is the minimum doc_id (map-side partial agg; the
     only shuffle key is the content hash — no skew for real corpora)."""
     d = read(spark, sf_dir, "documents")
-    norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    norm = F.lower(F.trim(F.regexp_replace("text", "[ \t\n\x0b\f\r]+", " ")))
     return (
         d.withColumn("content_hash", F.md5(norm))
         .groupBy("content_hash")
@@ -107,7 +107,7 @@ def dedup_exact(spark, sf_dir):
 
 
 DEDUP_EXACT_SQL = """
-SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS content_hash,
+SELECT md5(lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')))) AS content_hash,
        count(*) AS cluster_size,
        min(doc_id) AS canonical_doc_id
 FROM documents
@@ -1460,7 +1460,7 @@ def dedup_incremental(spark, sf_dir):
     (left-semi on content hash -> flag) and its canonical doc within
     the batch."""
     d = read(spark, sf_dir, "documents")
-    norm = F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
+    norm = F.md5(F.lower(F.trim(F.regexp_replace("text", "[ \t\n\x0b\f\r]+", " "))))
     hashed = d.select("doc_id", norm.alias("content_hash"))
     committed = (
         hashed.filter(F.col("doc_id") < INCREMENT_SPLIT)
@@ -1490,7 +1490,7 @@ def dedup_incremental(spark, sf_dir):
 DEDUP_INCREMENTAL_SQL = f"""
 WITH hashed AS (
   SELECT doc_id,
-         md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS content_hash
+         md5(lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')))) AS content_hash
   FROM documents
 ),
 committed AS (

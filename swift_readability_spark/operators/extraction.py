@@ -344,7 +344,7 @@ def build_training_set(spark, sf_dir):
         "doc_id",
         "lang",
         "text_length",
-        "CAST(size(split(trim(content), '\\\\s+')) AS BIGINT) AS n_tokens",
+        "CAST(size(split(trim(content), '[ \\\\t\\\\n\\\\x0b\\\\f\\\\r]+')) AS BIGINT) AS n_tokens",
         f"CASE WHEN {split_bucket} < {VAL_PCT} THEN 'val'"
         f" WHEN {split_bucket} < {VAL_PCT + TEST_PCT} THEN 'test'"
         f" ELSE 'train' END AS split",
@@ -434,7 +434,7 @@ clean AS (
 ),
 routed AS (
   SELECT doc_id, lang, text_length,
-         CAST(len(string_split_regex(trim(content), '\\s+')) AS BIGINT) AS n_tokens,
+         CAST(len(string_split_regex(trim(content), '[ \t\n\x0b\f\r]+')) AS BIGINT) AS n_tokens,
          CASE WHEN {split_bucket} < {VAL_PCT} THEN 'val'
               WHEN {split_bucket} < {VAL_PCT + TEST_PCT} THEN 'test'
               ELSE 'train' END AS split,

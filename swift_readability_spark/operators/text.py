@@ -108,7 +108,7 @@ def normalized_text_length(spark, sf_dir):
     d = read(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
-        F.length(F.trim(F.regexp_replace("text", r"\s{2,}", " "))).alias(
+        F.length(F.trim(F.regexp_replace("text", "[ \t\n\x0b\f\r]{2,}", " "))).alias(
             "norm_length"
         ),
     )
@@ -116,7 +116,7 @@ def normalized_text_length(spark, sf_dir):
 
 NORM_LENGTH_SQL = """
 SELECT doc_id,
-       length(trim(regexp_replace(text, '\\s{2,}', ' ', 'g'))) AS norm_length
+       length(trim(regexp_replace(text, '[ \t\n\x0b\f\r]{2,}', ' ', 'g'))) AS norm_length
 FROM documents
 """
 
@@ -127,17 +127,17 @@ def token_counts(spark, sf_dir):
     d = read(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
-        F.size(F.split(F.trim("text"), r"\s+")).cast("bigint").alias("ws_tokens"),
+        F.size(F.split(F.trim("text"), "[ \t\n\x0b\f\r]+")).cast("bigint").alias("ws_tokens"),
         F.size(
-            F.expr(r"regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]', 0)")
+            F.expr("regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 \\\\t\\\\n\\\\x0b\\\\f\\\\r]', 0)")
         ).cast("bigint").alias("regex_tokens"),
     )
 
 
 TOKEN_COUNTS_SQL = """
 SELECT doc_id,
-       CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS ws_tokens,
-       CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
+       CAST(len(string_split_regex(trim(text), '[ \t\n\x0b\f\r]+')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 \t\n\x0b\f\r]')) AS BIGINT)
          AS regex_tokens
 FROM documents
 """
@@ -159,14 +159,14 @@ def quality_score(spark, sf_dir):
     """Composite document-quality heuristics: length, mean word length,
     stopword ratio, punctuation density."""
     d = read(spark, sf_dir, "documents")
-    words = F.split(F.trim("text"), r"\s+")
+    words = F.split(F.trim("text"), "[ \t\n\x0b\f\r]+")
     n_words = F.size(words).cast("double")
     stop_re = r"\\b(the|a|an|and|or|of|to|in|is|it)\\b"
     n_stop = F.size(F.expr(rf"regexp_extract_all(lower(text), '{stop_re}', 0)")).cast(
         "double"
     )
     n_punct = F.size(F.expr(r"regexp_extract_all(text, '[.,;:!?]', 0)")).cast("double")
-    mean_word_len = F.length(F.regexp_replace("text", r"\s+", "")) / n_words
+    mean_word_len = F.length(F.regexp_replace("text", "[ \t\n\x0b\f\r]+", "")) / n_words
     # Integer-scaled BIGINT outputs (round 6): the per-row doubles are
     # deterministic (same IEEE op sequence over ints in both engines),
     # but no double crosses the driver's hash surface any more — the
@@ -192,13 +192,13 @@ def quality_score(spark, sf_dir):
 QUALITY_SQL = """
 WITH f AS (
   SELECT doc_id, text, n_chars,
-         CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS n_words,
+         CAST(len(string_split_regex(trim(text), '[ \t\n\x0b\f\r]+')) AS DOUBLE) AS n_words,
          CAST(len(regexp_extract_all(lower(text), '\\b(the|a|an|and|or|of|to|in|is|it)\\b')) AS DOUBLE) AS n_stop,
          CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) AS n_punct
   FROM documents
 )
 SELECT doc_id,
-       CAST(floor(length(regexp_replace(text, '\\s+', '', 'g')) / n_words * 10000 + 0.5) AS BIGINT) AS mean_word_len_e4,
+       CAST(floor(length(regexp_replace(text, '[ \t\n\x0b\f\r]+', '', 'g')) / n_words * 10000 + 0.5) AS BIGINT) AS mean_word_len_e4,
        CAST(floor(n_stop / n_words * 10000 + 0.5) AS BIGINT) AS stopword_ratio_e4,
        CAST(floor(n_punct / length(text) * 1000000 + 0.5) AS BIGINT) AS punct_density_e6,
        CAST(floor((least(n_chars / 1000.0, 1.0) * 0.4
@@ -272,7 +272,7 @@ def doc_fingerprint(spark, sf_dir):
     sliding windows of the first FINGERPRINT_CAP normalized chars
     (winnowing-style), plus a whole-document content hash."""
     d = read(spark, sf_dir, "documents")
-    norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    norm = F.lower(F.trim(F.regexp_replace("text", "[ \t\n\x0b\f\r]+", " ")))
     return (
         d.withColumn("norm", norm)
         .withColumn("head", F.expr(f"substring(norm, 1, {FINGERPRINT_CAP})"))
@@ -290,7 +290,7 @@ def doc_fingerprint(spark, sf_dir):
 
 FINGERPRINT_SQL = f"""
 WITH n AS (
-  SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
+  SELECT doc_id, lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))) AS norm
   FROM documents
 ),
 h AS (
@@ -388,7 +388,7 @@ def curation_pipeline(spark, sf_dir):
     # the membership gate now compares exact integers (round-6 rule)
     quality = quality_score(spark, sf_dir).filter(F.col("quality_e4") >= 5000)
     d = read(spark, sf_dir, "documents")
-    norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    norm = F.lower(F.trim(F.regexp_replace("text", "[ \t\n\x0b\f\r]+", " ")))
     hashed = d.select("doc_id", F.md5(norm).alias("content_hash"))
     from pyspark.sql.window import Window
 
@@ -412,7 +412,7 @@ WITH ident AS ({LANG_ID_SQL.replace(';', '')}),
 q AS ({QUALITY_SQL.replace(';', '')}),
 hashed AS (
   SELECT doc_id,
-         md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS content_hash
+         md5(lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')))) AS content_hash
   FROM documents
 ),
 gated AS (
@@ -440,7 +440,9 @@ def pii_scan(spark, sf_dir):
     d = read(spark, sf_dir, "documents")
     email_re = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
     phone_re = r"\\+?[0-9][0-9 ()-]{7,}[0-9]"
-    url_re = r"https?://[^\\s]+"
+    # explicit class, not \s: Java \s includes \x0B, RE2's does not —
+    # a \x0B would end the URL in Spark but ride inside it in DuckDB
+    url_re = r"https?://[^ \\t\\n\\x0b\\f\\r]+"
     n = lambda pat: F.size(F.expr(f"regexp_extract_all(text, '{pat}', 0)")).cast(
         "bigint"
     )
@@ -459,7 +461,7 @@ PII_SQL = """
 SELECT doc_id,
        CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
        CAST(len(regexp_extract_all(text, '\\+?[0-9][0-9 ()-]{7,}[0-9]')) AS BIGINT) AS n_phones,
-       CAST(len(regexp_extract_all(text, 'https?://[^\\s]+')) AS BIGINT) AS n_urls,
+       CAST(len(regexp_extract_all(text, 'https?://[^ \\t\\n\\x0b\\f\\r]+')) AS BIGINT) AS n_urls,
        (len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) > 0
         OR len(regexp_extract_all(text, '\\+?[0-9][0-9 ()-]{7,}[0-9]')) > 0) AS has_pii
 FROM documents

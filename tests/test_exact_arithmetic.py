@@ -164,3 +164,55 @@ def test_corr_zero_variance_stratum_is_null_both_engines(spark, duck, tmp_path):
     }
     assert oracle["DEGEN"] is None
     assert oracle["LIVE"] == got["LIVE"]
+
+
+def test_vertical_tab_whitespace_agrees_both_engines(spark, duck, tmp_path):
+    """The Java-vs-RE2 \\s divergence class (ADVICE r05), closed
+    corpus-wide in round 6: every oracled tokenization/normalization
+    uses the explicit [ \\t\\n\\x0b\\f\\r] class, so a document
+    containing a vertical tab (in Java's \\s but NOT RE2's) produces
+    identical token counts and content hashes in both engines."""
+    rows = [
+        (0, "alpha\x0bbeta gamma", "en", "s", 16),
+        (1, "plain text here", "en", "s", 15),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    duck.sql(
+        f"CREATE OR REPLACE VIEW documents AS"
+        f" SELECT * FROM read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+
+    from swift_readability_spark.operators.curation import (
+        CORPUS_REPORT_SQL,
+        corpus_report,
+    )
+    from swift_readability_spark.operators.dedup import DEDUP_EXACT_SQL, dedup_exact
+    from swift_readability_spark.operators.text import (
+        NORM_LENGTH_SQL,
+        PII_SQL,
+        QUALITY_SQL,
+        TOKEN_COUNTS_SQL,
+        normalized_text_length,
+        pii_scan,
+        quality_score,
+        token_counts,
+    )
+
+    for builder, sql in (
+        (token_counts, TOKEN_COUNTS_SQL),
+        (dedup_exact, DEDUP_EXACT_SQL),
+        (quality_score, QUALITY_SQL),
+        (normalized_text_length, NORM_LENGTH_SQL),
+        (pii_scan, PII_SQL),
+        (corpus_report, CORPUS_REPORT_SQL),
+    ):
+        s_rows = sorted(
+            [tuple(r) for r in builder(spark, str(tmp_path)).collect()]
+        )
+        d_rows = sorted([tuple(r) for r in duck.sql(sql).fetchall()])
+        assert s_rows == d_rows, (builder.__name__, s_rows, d_rows)
+    # the \x0b doc must actually tokenize as 3 words (non-vacuous)
+    toks = {r.doc_id: r.ws_tokens for r in token_counts(spark, str(tmp_path)).collect()}
+    assert toks[0] == 3
