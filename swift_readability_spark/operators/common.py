@@ -9,6 +9,22 @@ def read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
+def spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Round-robin the input up to cluster parallelism when the scan
+    carries fewer splits (guide §2.5, input skew): the bench corpora
+    are single parquet files with 1-6 row groups, so a scan stage —
+    and every per-row computation fused into it (regex, md5, Arrow
+    kernels) — otherwise runs on 1-6 of the 32 cores.  Skipped
+    whenever the scan already has >= parallelism splits (any real
+    multi-file corpus; repartitioning there would only add a shuffle).
+    Callers should project to the needed columns FIRST so the exchange
+    ships minimal bytes."""
+    target = int(spark.sparkContext.defaultParallelism)
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # exact-arithmetic aggregation discipline (round-5 sweep)
 #

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from .common import read
+from .common import read, spread
 
 N_PERMS = 8
 BAND_SIZE = 2
@@ -94,7 +94,9 @@ def dedup_exact(spark, sf_dir):
     """Exact dedup: hash-groupBy on normalized content; the canonical
     representative is the minimum doc_id (map-side partial agg; the
     only shuffle key is the content hash — no skew for real corpora)."""
-    d = read(spark, sf_dir, "documents")
+    # r07: spread the single-split scan so the normalize+md5 projection
+    # runs at cluster parallelism, not on one core (guide §2.5)
+    d = spread(spark, read(spark, sf_dir, "documents").select("doc_id", "text"))
     norm = F.lower(F.trim(F.regexp_replace("text", "[ \t\n\x0b\f\r]+", " ")))
     return (
         d.withColumn("content_hash", F.md5(norm))
@@ -124,26 +126,216 @@ _MINHASH_A = (998377, 811823, 651439, 527581, 423037, 342049, 276197, 223409)
 _MINHASH_B = (12721, 29363, 47563, 65537, 83701, 104729, 122887, 141079)
 
 
+# --- Arrow-native tokenize+hash kernels (guide §4.2) -----------------
+#
+# The word/shingle -> md5 -> integer pipelines are per-document
+# independent (no cross-row state), so the whole computation runs
+# inside one mapInArrow stage: C-backed `re` tokenization, hashlib md5
+# (first 4 digest bytes big-endian == the portable "first 8 hex chars"
+# hash), and numpy batch-level vote/min reductions.  The JVM
+# expression forms (kept verbatim in the oracle SQL) pay an
+# interpreted-HOF md5+conv per element — measured 8.3 s (simhash) /
+# 5.8 s (minhash) at sf1.0/local[32] vs ~1 s here; even the
+# explode+codegen-HashAggregate rewrite only reached 5.1 / 4.5 s
+# because JVM md5-hex + conv + per-row aggregation dominate.
+#
+# Tokenization parity is EXACT by construction: the ASCII strip regex
+# '[^a-zA-Z0-9 ]' runs FIRST, so lower()/split() only ever see ASCII
+# (Java/Python/DuckDB case-fold and whitespace semantics coincide on
+# ASCII; the corpus-wide \s-class landmines do not apply because every
+# non-[a-zA-Z0-9 ] byte is already a space).  Null text yields null
+# outputs (matching transform(NULL) -> NULL in both engines); zero
+# words yield simhash 0 / the md5('') shingle, matching the array
+# forms.  Memory per batch is bounded: Arrow ships <=512 docs/batch
+# (session.py), and the per-bit reductions use one cumsum buffer over
+# the batch's words, never an n_words x 32 matrix (a 10M-word mega-doc
+# costs one 80 MB int64 buffer, not 1.3 GB).
+
+_ASCII_STRIP = "[^a-zA-Z0-9 ]"
+
+
+def _spread_docs(spark, sf_dir):
+    """(doc_id, text) pre-spread to cluster parallelism for the Arrow
+    kernels (common.spread: the bench corpus is ONE parquet file ->
+    one scan split -> a single Python worker would run the whole
+    stage; measured 3.0 s single-task vs ~0.8 s spread at
+    sf1.0/local[32]).  Also returns the doc_id type: bigint in the
+    driver corpus but string in planted test corpora — the kernels
+    pass it through untouched, so the output schema mirrors whatever
+    the scan carries."""
+    d = spread(spark, read(spark, sf_dir, "documents").select("doc_id", "text"))
+    return d, dict(d.dtypes)["doc_id"]
+
+
+def _tokenize_batch(texts):
+    """words-per-doc lists mirroring ``_SPARK_WORDS`` (None for null
+    text), plus int64 word counts and doc boundary offsets."""
+    import re
+
+    import numpy as np
+
+    strip = re.compile(_ASCII_STRIP)
+    words_per_doc = [
+        None if t is None else strip.sub(" ", t).lower().split() for t in texts
+    ]
+    counts = np.fromiter(
+        (0 if ws is None else len(ws) for ws in words_per_doc),
+        dtype=np.int64,
+        count=len(words_per_doc),
+    )
+    bounds = np.zeros(len(words_per_doc) + 1, dtype=np.int64)
+    np.cumsum(counts, out=bounds[1:])
+    return words_per_doc, counts, bounds
+
+
+def _md5_u64(strings_iter):
+    """uint64 array of the portable 32-bit hash (first 8 md5 hex chars
+    == first 4 digest bytes, big-endian) for a flat string iterable."""
+    from hashlib import md5
+
+    import numpy as np
+
+    buf = b"".join(md5(s.encode()).digest()[:4] for s in strings_iter)
+    return np.frombuffer(buf, dtype=">u4").astype(np.uint64)
+
+
+def _vote32(h, counts, bounds):
+    """Packed 32-bit majority vote per doc segment: bit b of doc i is
+    set iff 2 * |{hashes in segment i with bit b set}| > counts[i].
+    One int64 cumsum buffer over the batch's hashes per bit — bounded
+    memory even when one doc holds millions of words."""
+    import numpy as np
+
+    fp = np.zeros(len(counts), dtype=np.int64)
+    cs = np.empty(len(h) + 1, dtype=np.int64)
+    cs[0] = 0
+    for b in range(32):
+        np.cumsum((h >> np.uint64(b)) & np.uint64(1), out=cs[1:])
+        ones = cs[bounds[1:]] - cs[bounds[:-1]]
+        fp |= (2 * ones > counts).astype(np.int64) << b
+    return fp
+
+
+def _null_safe_i64(values, texts):
+    import pyarrow as pa
+
+    if any(t is None for t in texts):
+        return pa.array(
+            [None if t is None else int(v) for t, v in zip(texts, values)],
+            type=pa.int64(),
+        )
+    return pa.array(values, type=pa.int64())
+
+
+def _simhash_batches(it):
+    import pyarrow as pa
+
+    for batch in it:
+        texts = batch.column("text").to_pylist()
+        words_per_doc, counts, bounds = _tokenize_batch(texts)
+        h = _md5_u64(w for ws in words_per_doc if ws for w in ws)
+        fp = _vote32(h, counts, bounds)
+        yield pa.RecordBatch.from_arrays(
+            [batch.column("doc_id"), _null_safe_i64(fp, texts)],
+            ["doc_id", "simhash"],
+        )
+
+
+def _simhash_wide_batches(it):
+    from hashlib import md5
+
+    import numpy as np
+    import pyarrow as pa
+
+    for batch in it:
+        texts = batch.column("text").to_pylist()
+        words_per_doc, counts, bounds = _tokenize_batch(texts)
+        buf = b"".join(
+            md5(w.encode()).digest()[:8]
+            for ws in words_per_doc
+            if ws
+            for w in ws
+        )
+        both = np.frombuffer(buf, dtype=">u4").astype(np.uint64).reshape(-1, 2)
+        fp_lo = _vote32(np.ascontiguousarray(both[:, 0]), counts, bounds)
+        fp_hi = _vote32(np.ascontiguousarray(both[:, 1]), counts, bounds)
+        yield pa.RecordBatch.from_arrays(
+            [
+                batch.column("doc_id"),
+                _null_safe_i64(fp_lo, texts),
+                _null_safe_i64(fp_hi, texts),
+            ],
+            ["doc_id", "fp_lo", "fp_hi"],
+        )
+
+
+def _shingles_for(words):
+    """3-word shingles mirroring ``_SPARK_SHINGLES`` (never empty)."""
+    if len(words) >= 3:
+        return [" ".join(words[i : i + 3]) for i in range(len(words) - 2)]
+    return [" ".join(words)]
+
+
+def _minhash_batches(it):
+    import numpy as np
+    import pyarrow as pa
+
+    a = np.array(_MINHASH_A, dtype=np.uint64)
+    b = np.array(_MINHASH_B, dtype=np.uint64)
+    p = np.uint64(_MINHASH_P)
+    for batch in it:
+        texts = batch.column("text").to_pylist()
+        words_per_doc, _counts, _bounds = _tokenize_batch(texts)
+        shingles_per_doc = [
+            None if ws is None else _shingles_for(ws) for ws in words_per_doc
+        ]
+        n_sh = np.fromiter(
+            (0 if s is None else len(s) for s in shingles_per_doc),
+            dtype=np.int64,
+            count=len(texts),
+        )
+        starts = np.zeros(len(texts) + 1, dtype=np.int64)
+        np.cumsum(n_sh, out=starts[1:])
+        h = _md5_u64(s for sh in shingles_per_doc if sh for s in sh)
+        live = n_sh > 0  # only null-text docs have no shingles
+        cols = []
+        for k in range(N_PERMS):
+            perm = (a[k] * h + b[k]) % p
+            mins = np.zeros(len(texts), dtype=np.int64)
+            if len(h):
+                red = np.minimum.reduceat(perm, starts[:-1][live])
+                mins[live] = red.astype(np.int64)
+            if live.all():
+                cols.append(pa.array(mins, type=pa.int64()))
+            else:
+                cols.append(
+                    pa.array(
+                        [int(v) if ok else None for v, ok in zip(mins, live)],
+                        type=pa.int64(),
+                    )
+                )
+        yield pa.RecordBatch.from_arrays(
+            [batch.column("doc_id")] + cols,
+            ["doc_id"] + [f"mh{k}" for k in range(N_PERMS)],
+        )
+
+
 def minhash_signatures(spark, sf_dir):
     """MinHash signatures (8 universal-hash permutations of a single
-    portable 32-bit shingle hash) over 3-word shingles."""
-    d = read(spark, sf_dir, "documents")
-    out = (
-        d.selectExpr("doc_id", f"{_SPARK_NORM} AS norm")
-        .selectExpr("doc_id", f"{_SPARK_SHINGLES} AS shingles")
-        .selectExpr(
-            "doc_id",
-            "transform(shingles, s -> " + _spark_hash("s") + ") AS hashes",
-        )
-    )
-    mins = [
-        F.expr(
-            f"array_min(transform(hashes, h ->"
-            f" ({_MINHASH_A[k]}L * h + {_MINHASH_B[k]}L) % {_MINHASH_P}L))"
-        ).alias(f"mh{k}")
-        for k in range(N_PERMS)
-    ]
-    return out.select("doc_id", *mins)
+    portable 32-bit shingle hash) over 3-word shingles.
+
+    Round-7 shape (guide §4.2): one zero-shuffle mapInArrow stage —
+    C-regex tokenization, hashlib md5, numpy ``minimum.reduceat`` per
+    permutation.  Values are bit-identical to the oracle's array form
+    (integer arithmetic over the same md5 prefix); 5.8 s -> ~1 s at
+    sf1.0/local[32].  Only (doc_id, text) crosses the Python boundary
+    (guide §4.1: project before the opaque stage)."""
+    from ..pipeline.session import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
+    d, id_t = _spread_docs(spark, sf_dir)
+    schema = f"doc_id {id_t}, " + ", ".join(f"mh{k} bigint" for k in range(N_PERMS))
+    return d.mapInArrow(_minhash_batches, schema)
 
 
 def _minhash_sql() -> str:
@@ -406,42 +598,22 @@ def simhash(spark, sf_dir):
     """SimHash: per-word portable hash, signed bit-count vote per bit,
     packed into a 32-bit fingerprint.
 
-    Fully array-native: zero explode, zero groupBy — the whole
-    fingerprint is computed map-side in one whole-stage-codegen
-    projection.  ONE ``aggregate()`` pass walks the hash array once,
-    accumulating all 32 bit counters PLUS the element count in an
-    array accumulator (slot 33) — the finish lambda only touches the
-    accumulator, never the computed ``hs`` column (the module's
-    no-computed-columns-in-lambdas rule: a ``size(hs)`` there would
-    re-run tokenize+hash up to 32x per doc if Catalyst inlines ``hs``).
-    The round-2 shape ran 32 separate ``filter()`` passes, re-walking
-    the array 32x.  vote_b set  <=>  2 * ones_b > total."""
-    d = read(spark, sf_dir, "documents")
-    hashed = d.selectExpr(
-        "doc_id",
-        f"transform({_SPARK_WORDS}, w -> {_spark_hash('w')}) AS hs",
-    )
-    return hashed.selectExpr(
-        "doc_id", f"CAST({_vote_pack32('hs')} AS BIGINT) AS simhash"
-    )
+    Round-7 shape (guide §4.2): one zero-shuffle mapInArrow stage —
+    C-regex tokenization, hashlib md5, 32 numpy cumsum-segment vote
+    reductions over the batch's word hashes.  Values are identical to
+    the oracle's array form: vote_b set <=> 2 * ones_b > total, with
+    duplicate-preserving counts either way, and the hash is the same
+    md5 prefix read as a big-endian 32-bit int.  The previous
+    array-native ``aggregate()`` HOF measured 8.3 s at sf1.0/local[32]
+    (higher-order functions are CodegenFallback: interpreted md5+conv
+    plus a fresh 33-element array per word); an explode+codegen
+    HashAggregate rewrite reached 5.1 s; this form ~1 s.  Only
+    (doc_id, text) crosses the Python boundary."""
+    from ..pipeline.session import ensure_package_on_workers
 
-
-def _vote_pack32(col: str) -> str:
-    """One-pass majority vote over a 32-bit hash array column: 33-slot
-    accumulator (32 bit counters + element count in slot 33); the
-    finish lambda packs votes into one bigint in [0, 2^32).  Only the
-    named array column ``col`` and the accumulator appear in lambda
-    bodies (no computed-column refs — the inlining landmine)."""
-    n = 32
-    return (
-        f"aggregate({col}, array_repeat(0L, {n + 1}),"
-        f" (acc, h) -> zip_with(acc, sequence(0, {n}),"
-        f" (c, b) -> c + IF(b < {n}, shiftright(h, b) & 1, 1)),"
-        f" acc -> aggregate(zip_with(acc, sequence(0, {n}),"
-        f" (c, b) -> IF(b < {n} AND 2 * c > element_at(acc, {n + 1}),"
-        f" shiftleft(1L, b), 0L)),"
-        f" 0L, (s, v) -> s + v))"
-    )
+    ensure_package_on_workers(spark)
+    d, id_t = _spread_docs(spark, sf_dir)
+    return d.mapInArrow(_simhash_batches, f"doc_id {id_t}, simhash bigint")
 
 
 def _simhash_sql() -> str:
@@ -845,20 +1017,17 @@ def simhash_wide(spark, sf_dir):
     md5 hex chars 1-8 — bit-identical to ``simhash`` —, fp_hi = votes
     over hex chars 9-16 of the SAME md5).  Two non-negative bigints
     sidestep the int64 sign bit in both engines; Hamming distance is
-    bit_count(lo^lo') + bit_count(hi^hi')."""
-    d = read(spark, sf_dir, "documents")
-    ms = d.selectExpr(
-        "doc_id", f"transform({_SPARK_WORDS}, w -> md5(w)) AS ms"
-    )
-    hashed = ms.selectExpr(
-        "doc_id",
-        "transform(ms, m -> CAST(conv(substr(m, 1, 8), 16, 10) AS BIGINT)) AS hs_lo",
-        "transform(ms, m -> CAST(conv(substr(m, 9, 8), 16, 10) AS BIGINT)) AS hs_hi",
-    )
-    return hashed.selectExpr(
-        "doc_id",
-        f"CAST({_vote_pack32('hs_lo')} AS BIGINT) AS fp_lo",
-        f"CAST({_vote_pack32('hs_hi')} AS BIGINT) AS fp_hi",
+    bit_count(lo^lo') + bit_count(hi^hi').
+
+    Round-7: same Arrow kernel as ``simhash`` (guide §4.2) — one md5
+    per word yields both words' hash halves (digest bytes 0-3 / 4-7 ==
+    hex chars 1-8 / 9-16), numpy vote reduction per half."""
+    from ..pipeline.session import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
+    d, id_t = _spread_docs(spark, sf_dir)
+    return d.mapInArrow(
+        _simhash_wide_batches, f"doc_id {id_t}, fp_lo bigint, fp_hi bigint"
     )
 
 

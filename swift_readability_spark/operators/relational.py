@@ -124,9 +124,19 @@ def q3_shipping_priority(spark, sf_dir):
     c = read(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = read(spark, sf_dir, "orders")
     l = read(spark, sf_dir, "lineitem")
+    # r07 join order (guide §3.1/§3.3): reduce orders through the
+    # broadcast customer dimension FIRST (~1/5 survive the segment
+    # filter), then join lineitem against the reduced key set — AQE
+    # turns that join into a broadcast of the filtered keys when the
+    # runtime size fits (it does at sf1.0: no lineitem shuffle at
+    # all), and falls back to a sort-merge of a 5x smaller side at
+    # cluster scale.  The old order shuffled all of lineitem against
+    # ALL orders before the segment filter could drop anything.
+    o_building = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        "o_orderkey"
+    )
     return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        l.join(o_building, l.l_orderkey == o_building.o_orderkey)
         .groupBy("l_orderkey")
         # per-order groups: a handful of rows x ~1e9 per row — int64
         # safe at any corpus scale (common.py::spark_sum64)

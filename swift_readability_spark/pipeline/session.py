@@ -84,6 +84,15 @@ def build_session(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # floor on SCAN parallelism, sized from actual cluster
+        # parallelism (shuffle_partitions == cores locally, executor
+        # cores on a cluster): Spark derives the split size as
+        # max(openCost, min(maxPartitionBytes, totalBytes/minPartitionNum)),
+        # so a 26 MB single-file table splits across cores (row-group
+        # granularity permitting) while a 100-TB scan still gets full
+        # 128 MB splits — scale-adaptive, not a local constant
+        # (guide §6: input split size).
+        .config("spark.sql.files.minPartitionNum", str(shuffle_partitions))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config(
             "spark.sql.execution.arrow.maxRecordsPerBatch",

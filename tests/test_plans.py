@@ -40,19 +40,28 @@ def test_anti_join_is_broadcast(spark, reg):
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
 
 
+def _assert_arrow_kernel_shape(plan: str) -> None:
+    """Round-7 shape for the per-doc fingerprint kernels: one Arrow
+    stage, no compute shuffle.  The only Exchange allowed is the
+    round-robin input spread (skipped on multi-split scans); a
+    hashpartitioning Exchange would mean a groupBy/join snuck back
+    in."""
+    assert "MapInArrow" in plan
+    assert "hashpartitioning" not in plan
+    assert plan.count("Exchange") <= 1
+    if "Exchange" in plan:
+        assert "RoundRobinPartitioning" in plan
+
+
 def test_simhash_is_map_side_only(spark, reg):
-    """Round-2 rewrite: fingerprints are one map-side projection —
-    zero Exchange anywhere in the plan.  (The higher-order filter()
-    lambdas run outside whole-stage codegen by Spark design; the
-    shuffle elision is the property that matters at scale.)"""
-    plan = _plan(reg["simhash"](spark, SF))
-    assert "Exchange" not in plan
-    assert "Project" in plan
+    """Round-7 rewrite: the fingerprint is computed per-doc inside one
+    mapInArrow stage (C-regex + hashlib + numpy) — zero compute
+    shuffle; only the input-spread round-robin Exchange appears."""
+    _assert_arrow_kernel_shape(_plan(reg["simhash"](spark, SF)))
 
 
 def test_minhash_signatures_no_shuffle(spark, reg):
-    plan = _plan(reg["minhash_signatures"](spark, SF))
-    assert "Exchange" not in plan
+    _assert_arrow_kernel_shape(_plan(reg["minhash_signatures"](spark, SF)))
 
 
 def test_jaccard_verify_never_joins_on_shingle(spark, reg):
@@ -78,8 +87,10 @@ def test_lsh_cap_applied_before_collect(spark, reg):
     i_window = plan.index("Window")
     assert i_collect < i_filter < i_window
     assert "Exchange" not in plan[i_collect:i_window]
-    # window shuffle + final distinct: exactly two Exchanges total
-    assert plan.count("Exchange") == 2
+    # window shuffle + final distinct + the Arrow kernel's round-robin
+    # input spread: exactly three Exchanges total (r07: the signature
+    # stage itself no longer shuffles, but its input spread adds one)
+    assert plan.count("Exchange") == 3
 
 
 def test_simhash_bands_guard_before_collect(spark, reg):
