@@ -23,9 +23,13 @@ BAND_SIZE = 2
 N_BANDS = N_PERMS // BAND_SIZE
 
 # -- portable word/shingle prep (identical semantics in both engines) --
+# r07: regexp_extract_all('[^ ]+') replaces filter(split(...), x<>'')
+# — identical arrays (maximal non-space runs after the ASCII strip),
+# but the filter() HOF ran interpreted per ELEMENT (CodegenFallback)
+# while regexp_extract_all is one codegen call per row.
 _SPARK_WORDS = (
-    "filter(split(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ')), ' +'),"
-    " x -> x <> '')"
+    "regexp_extract_all(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ')),"
+    " '[^ ]+', 0)"
 )
 _DUCK_WORDS = (
     "list_filter(string_split_regex(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g')),"

@@ -18,7 +18,7 @@ from .common import read, spread
 def comma_score(spark, sf_dir):
     """The element content score (ArticleGrabber.swift:770-801):
     1 (base) + commas+1 + min(floor(len/100), 3)."""
-    d = read(spark, sf_dir, "documents")
+    d = spread(spark, read(spark, sf_dir, "documents").select("doc_id", "text"))
     commas = F.length("text") - F.length(F.regexp_replace("text", ",", ""))
     return d.select(
         "doc_id",
@@ -105,7 +105,7 @@ FROM documents
 def normalized_text_length(spark, sf_dir):
     """getInnerText whitespace collapse (ProcessorBase.swift:49-56):
     trim + \\s{2,} -> ' ', then count chars."""
-    d = read(spark, sf_dir, "documents")
+    d = spread(spark, read(spark, sf_dir, "documents").select("doc_id", "text"))
     return d.select(
         "doc_id",
         F.length(F.trim(F.regexp_replace("text", "[ \t\n\x0b\f\r]{2,}", " "))).alias(
@@ -124,12 +124,18 @@ FROM documents
 def token_counts(spark, sf_dir):
     """Whitespace tokens plus a BPE-ish regex token count
     (word pieces + punctuation as separate tokens)."""
-    d = read(spark, sf_dir, "documents")
+    d = spread(spark, read(spark, sf_dir, "documents").select("doc_id", "text"))
+    # r07: regexp_count avoids materializing the token ARRAYS the old
+    # size(split)/size(regexp_extract_all) built per row just to count
+    # them: size(split(s, re)) == regexp_count(s, re) + 1 (split yields
+    # one more piece than separators, incl. the empty-string case)
     return d.select(
         "doc_id",
-        F.size(F.split(F.trim("text"), "[ \t\n\x0b\f\r]+")).cast("bigint").alias("ws_tokens"),
-        F.size(
-            F.expr("regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 \\\\t\\\\n\\\\x0b\\\\f\\\\r]', 0)")
+        (F.expr("regexp_count(trim(text), '[ \t\n\x0b\f\r]+')") + 1)
+        .cast("bigint")
+        .alias("ws_tokens"),
+        F.expr(
+            "regexp_count(text, '[A-Za-z0-9]+|[^A-Za-z0-9 \\\\t\\\\n\\\\x0b\\\\f\\\\r]')"
         ).cast("bigint").alias("regex_tokens"),
     )
 
@@ -158,14 +164,17 @@ def _r(col, digits: int):
 def quality_score(spark, sf_dir):
     """Composite document-quality heuristics: length, mean word length,
     stopword ratio, punctuation density."""
-    d = read(spark, sf_dir, "documents")
-    words = F.split(F.trim("text"), "[ \t\n\x0b\f\r]+")
-    n_words = F.size(words).cast("double")
-    stop_re = r"\\b(the|a|an|and|or|of|to|in|is|it)\\b"
-    n_stop = F.size(F.expr(rf"regexp_extract_all(lower(text), '{stop_re}', 0)")).cast(
-        "double"
+    d = spread(
+        spark, read(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
     )
-    n_punct = F.size(F.expr(r"regexp_extract_all(text, '[.,;:!?]', 0)")).cast("double")
+    # regexp_count(sep)+1 == size(split(...)) (see token_counts) — no
+    # token array materialized just to count it
+    n_words = (
+        F.expr("regexp_count(trim(text), '[ \t\n\x0b\f\r]+')") + 1
+    ).cast("double")
+    stop_re = r"\\b(the|a|an|and|or|of|to|in|is|it)\\b"
+    n_stop = F.expr(rf"regexp_count(lower(text), '{stop_re}')").cast("double")
+    n_punct = F.expr(r"regexp_count(text, '[.,;:!?]')").cast("double")
     mean_word_len = F.length(F.regexp_replace("text", "[ \t\n\x0b\f\r]+", "")) / n_words
     # Integer-scaled BIGINT outputs (round 6): the per-row doubles are
     # deterministic (same IEEE op sequence over ints in both engines),
@@ -227,9 +236,7 @@ def lang_id(spark, sf_dir):
     cols = []
     for code, pattern in _LANG_MARKERS.items():
         cols.append(
-            F.size(F.expr(rf"regexp_extract_all(lower(text), '{pattern}', 0)")).alias(
-                f"n_{code}"
-            )
+            F.expr(rf"regexp_count(lower(text), '{pattern}')").alias(f"n_{code}")
         )
     scored = d.select("doc_id", "lang", *cols)
     best = F.greatest(*[F.col(f"n_{c}") for c in _LANG_MARKERS])
@@ -270,24 +277,78 @@ FROM m
 FINGERPRINT_CAP = 8192
 
 
+def _fingerprint_batches(it):
+    """Arrow kernel for ``doc_fingerprint`` (guide §4.2): the old JVM
+    form ran one interpreted md5 PER 16-char WINDOW inside a
+    ``transform`` lambda (HOFs are CodegenFallback) — ~14M interpreted
+    md5+substring evaluations at sf1.0, measured 18.6 s.  Here the
+    window min runs over raw 16-byte digests (hex encoding is a
+    monotone fixed-width byte map, so min over digests == min over the
+    hex strings Spark compared), hex-encoded once per doc.  Semantics
+    mirror the expression exactly: normalize = regexp_replace ws+ ->
+    ' ' , trim(' '), lower(); head = first FINGERPRINT_CAP chars;
+    windows = substring(head, i, 16) for i in 1..max(len-15, 1) (the
+    final short/empty windows of the 1-window case included); null
+    text -> null outputs."""
+    import re
+    from hashlib import md5
+
+    import pyarrow as pa
+
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    for batch in it:
+        texts = batch.column("text").to_pylist()
+        content, fps = [], []
+        for t in texts:
+            if t is None:
+                content.append(None)
+                fps.append(None)
+                continue
+            norm = ws.sub(" ", t).strip(" ").lower()
+            b = norm.encode()
+            content.append(md5(b).hexdigest())
+            if len(norm) == len(b):
+                # pure-ASCII fast path: char windows == byte windows
+                head = b[:FINGERPRINT_CAP]
+                fps.append(
+                    min(
+                        md5(head[i : i + 16]).digest()
+                        for i in range(max(len(head) - 15, 1))
+                    ).hex()
+                )
+            else:
+                head_s = norm[:FINGERPRINT_CAP]
+                fps.append(
+                    min(
+                        md5(head_s[i : i + 16].encode()).digest()
+                        for i in range(max(len(head_s) - 15, 1))
+                    ).hex()
+                )
+        yield pa.RecordBatch.from_arrays(
+            [
+                batch.column("doc_id"),
+                pa.array(content, type=pa.string()),
+                pa.array(fps, type=pa.string()),
+            ],
+            ["doc_id", "content_md5", "fingerprint"],
+        )
+
+
 def doc_fingerprint(spark, sf_dir):
     """Rolling-hash document fingerprint: minimum md5 over the 16-char
     sliding windows of the first FINGERPRINT_CAP normalized chars
-    (winnowing-style), plus a whole-document content hash."""
-    d = read(spark, sf_dir, "documents")
-    norm = F.lower(F.trim(F.regexp_replace("text", "[ \t\n\x0b\f\r]+", " ")))
-    return (
-        d.withColumn("norm", norm)
-        .withColumn("head", F.expr(f"substring(norm, 1, {FINGERPRINT_CAP})"))
-        .withColumn("min_gram_hash", F.array_min(F.expr(
-            "transform(transform(sequence(1, greatest(length(head) - 15, 1)),"
-            " i -> substring(head, i, 16)), g -> md5(g))"
-        )))
-        .select(
-            "doc_id",
-            F.md5("norm").alias("content_md5"),
-            F.col("min_gram_hash").alias("fingerprint"),
-        )
+    (winnowing-style), plus a whole-document content hash.
+
+    Round-7: Arrow kernel (see ``_fingerprint_batches``); 18.6 s ->
+    ~0.7 s at sf1.0/local[32], values bit-identical (oracle green)."""
+    from ..pipeline.session import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
+    d = spread(spark, read(spark, sf_dir, "documents").select("doc_id", "text"))
+    id_t = dict(d.dtypes)["doc_id"]
+    return d.mapInArrow(
+        _fingerprint_batches,
+        f"doc_id {id_t}, content_md5 string, fingerprint string",
     )
 
 
@@ -329,15 +390,16 @@ def token_set_similarity(spark, sf_dir):
     ((b-a)*20000 + b) DIV (2b), BIGINT end to end (the corpus_report /
     tfidf recipe; no double ever crosses the driver hash).  b = 0 ⇒
     similarity 1.0 ⇒ 10000, mirroring the old double branch."""
-    d = read(spark, sf_dir, "documents")
+    base = read(spark, sf_dir, "documents").select("doc_id", "text")
     toks = F.expr(
-        "filter(split(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ')), ' +'),"
-        " x -> x <> '')"
+        "regexp_extract_all(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ')),"
+        " '[^ ]+', 0)"
     )
-    docs = d.select("doc_id", toks.alias("tokens"))
-    ref = docs.filter(F.col("doc_id") == 0).select(
-        F.col("tokens").alias("ref_tokens")
-    )
+    # docs side spread (guide §2.5: single-split scan); the 1-row ref
+    # branch stays on the raw scan so the doc_id=0 predicate pushes to
+    # parquet instead of scanning behind a round-robin exchange
+    docs = spread(spark, base).select("doc_id", toks.alias("tokens"))
+    ref = base.filter(F.col("doc_id") == 0).select(toks.alias("ref_tokens"))
     joined_len = "length(array_join({arr}, ' '))"
     uniq = "filter(tokens, t -> NOT array_contains(ref_tokens, t))"
     b = joined_len.format(arr="tokens")
@@ -385,19 +447,73 @@ def curation_pipeline(spark, sf_dir):
     gate (marker-based lang id agrees with the labeled lang), quality
     gate, then exact dedup keeping the lowest doc_id per content hash.
     The composition every large-scale text pipeline runs; each stage is
-    individually oracled above, and the composition is oracled here."""
-    ident = lang_id(spark, sf_dir).filter(F.col("lang_pred") == F.col("lang"))
-    # quality_e4 >= 5000 ⟺ the old rounded-double quality >= 0.5, but
-    # the membership gate now compares exact integers (round-6 rule)
-    quality = quality_score(spark, sf_dir).filter(F.col("quality_e4") >= 5000)
-    d = read(spark, sf_dir, "documents")
+    individually oracled above, and the composition is oracled here.
+
+    r07: single-pass.  The lang and quality gates are per-row
+    predicates over the SAME table, so the semi-join composition is a
+    conjunctive filter — one scan, one projection computing both gate
+    expressions (identical to lang_id's and quality_score's, same
+    constants) and the content hash, then the per-hash keep-min
+    window.  The old shape ran THREE scans of documents plus TWO
+    sequential broadcast builds (each waiting on its branch's full
+    regex pass): 6.5 s -> ~1.1 s at sf1.0/local[32]; rows identical
+    (oracle green, plus a direct row-set comparison during the A/B).
+
+    The filter MUST evaluate the gate as a projected COLUMN, not as a
+    pushed-down predicate: ProjectExec codegen has subexpression
+    elimination, FilterExec does not, so the same CASE-over-
+    regexp_count chain measured 0.46 s as a column and ~5 s as a
+    filter condition (each WHEN branch re-running every regexp_count).
+    Catalyst pushes any deterministic predicate below the projection,
+    re-creating exactly that slow form — hence the `_nd`
+    monotonically_increasing_id column and the single non-splittable
+    `when(_nd >= 0, _keep)` condition (always == _keep, but it
+    references a nondeterministic column so PushPredicateThroughNonJoin
+    must leave it above the projection).  `_nd` never reaches the
+    output and feeds only an always-true comparison, so task retries
+    re-drawing different ids cannot affect row membership or values."""
+    d = spread(
+        spark,
+        read(spark, sf_dir, "documents").select("doc_id", "lang", "text", "n_chars"),
+    )
+    # lang gate (== lang_id's lang_pred expression)
+    marker = {
+        code: F.expr(rf"regexp_count(lower(text), '{p}')")
+        for code, p in _LANG_MARKERS.items()
+    }
+    best = F.greatest(*marker.values())
+    pred = F.when(best <= 0, F.lit("und"))
+    for code in sorted(_LANG_MARKERS):
+        pred = pred.when(marker[code] == best, F.lit(code))
+    # quality gate (== quality_score's quality_e4 expression;
+    # quality_e4 >= 5000 ⟺ the old rounded-double quality >= 0.5 —
+    # exact integers, round-6 rule)
+    n_words = (
+        F.expr("regexp_count(trim(text), '[ \t\n\x0b\f\r]+')") + 1
+    ).cast("double")
+    stop_re = r"\\b(the|a|an|and|or|of|to|in|is|it)\\b"
+    n_stop = F.expr(rf"regexp_count(lower(text), '{stop_re}')").cast("double")
+    n_punct = F.expr(r"regexp_count(text, '[.,;:!?]')").cast("double")
+    quality_e4 = F.floor(
+        (
+            F.least(F.col("n_chars") / 1000.0, F.lit(1.0)) * 0.4
+            + F.least(n_stop / n_words * 5.0, F.lit(1.0)) * 0.4
+            + (1.0 - F.least(n_punct / F.length("text") * 20.0, F.lit(1.0))) * 0.2
+        )
+        * 10000
+        + F.lit(0.5)
+    ).cast("bigint")
     norm = F.lower(F.trim(F.regexp_replace("text", "[ \t\n\x0b\f\r]+", " ")))
-    hashed = d.select("doc_id", F.md5(norm).alias("content_hash"))
     from pyspark.sql.window import Window
 
-    surviving = (
-        hashed.join(ident.select("doc_id"), "doc_id", "left_semi")
-        .join(quality.select("doc_id"), "doc_id", "left_semi")
+    return (
+        d.select(
+            "doc_id",
+            F.md5(norm).alias("content_hash"),
+            ((pred == F.col("lang")) & (quality_e4 >= 5000)).alias("_keep"),
+            F.monotonically_increasing_id().alias("_nd"),
+        )
+        .filter(F.when(F.col("_nd") >= 0, F.col("_keep")))
         .withColumn(
             "rank",
             F.row_number().over(
@@ -407,7 +523,6 @@ def curation_pipeline(spark, sf_dir):
         .filter(F.col("rank") == 1)
         .select("doc_id", "content_hash")
     )
-    return surviving
 
 
 CURATION_SQL = f"""
@@ -440,15 +555,13 @@ def pii_scan(spark, sf_dir):
     corpus: per-doc counts of email-, phone-, and URL-shaped strings,
     plus the release flag.  Pure built-in regexp_extract_all: stays in
     whole-stage codegen, embarrassingly parallel, no shuffle."""
-    d = read(spark, sf_dir, "documents")
+    d = spread(spark, read(spark, sf_dir, "documents").select("doc_id", "text"))
     email_re = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
     phone_re = r"\\+?[0-9][0-9 ()-]{7,}[0-9]"
     # explicit class, not \s: Java \s includes \x0B, RE2's does not —
     # a \x0B would end the URL in Spark but ride inside it in DuckDB
     url_re = r"https?://[^ \\t\\n\\x0b\\f\\r]+"
-    n = lambda pat: F.size(F.expr(f"regexp_extract_all(text, '{pat}', 0)")).cast(
-        "bigint"
-    )
+    n = lambda pat: F.expr(f"regexp_count(text, '{pat}')").cast("bigint")
     return d.select(
         "doc_id",
         n(email_re).alias("n_emails"),
@@ -483,10 +596,10 @@ def top_terms(spark, sf_dir):
     crosses the wire once per task, not once per occurrence (the same
     reason word-count scales).  TakeOrdered for the top-k, no global
     sort."""
-    d = read(spark, sf_dir, "documents")
+    d = spread(spark, read(spark, sf_dir, "documents").select("text"))
     words = d.selectExpr(
-        "explode(filter(split(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ')),"
-        " ' +'), x -> x <> '')) AS word"
+        "explode(regexp_extract_all(lower(regexp_replace(text, '[^a-zA-Z0-9 ]',"
+        " ' ')), '[^ ]+', 0)) AS word"
     )
     return (
         words.groupBy("word")
@@ -523,7 +636,7 @@ from .dedup import _SPARK_WORDS as _R_SPARK_WORDS
 def repetition_stats(spark, sf_dir):
     """(doc_id, n_words, dup_word_frac, dup_bigram_frac) — repetition
     quality signals for filter thresholds."""
-    d = read(spark, sf_dir, "documents")
+    d = spread(spark, read(spark, sf_dir, "documents").select("doc_id", "text"))
     # lookahead regex over the normalized text, not a lambda over the
     # words array: Catalyst can inline a computed column into lambda
     # bodies (O(n^2) re-tokenization per element — see the dedup.py
@@ -593,11 +706,23 @@ def tfidf_top_terms(spark, sf_dir):
     word keys are fine because each hot word is ONE row on the df side
     (AQE skew-join splits the tf side if needed).  Final per-doc top-k
     is a window on doc_id — uniformly distributed, no skew."""
-    d = read(spark, sf_dir, "documents")
+    d = spread(spark, read(spark, sf_dir, "documents").select("doc_id", "text"))
     # _R_SPARK_WORDS: the module's one shared word tokenizer alias
     words = d.selectExpr("doc_id", f"explode({_R_SPARK_WORDS}) AS word")
     tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
-    df = tf.groupBy("word").agg(F.count("*").alias("df"))
+    # r07: df == count(*) per word over tf, but written as
+    # count(when(tf >= 1, 1)) — tf is a groupBy count so tf >= 1 on
+    # every row and the value is IDENTICAL (oracle-checked).  The
+    # reference to `tf` stops column pruning from rewriting this
+    # branch's (doc_id, word) pre-aggregation into a DISTINCT: both
+    # branches then share one canonical subtree and AQE reuses the
+    # tokenize+explode+tf shuffle stage instead of recomputing it
+    # (interleaved A/B at sf1.0: 6.0 s plain vs 3.8 s, 3 reps each).
+    # Alternatives measured and rejected: window count over
+    # (partition by word) — same local time but concentrates a
+    # stopword's whole posting list in ONE window partition at corpus
+    # scale; localCheckpoint — leaks a cached RDD per invocation.
+    df = tf.groupBy("word").agg(F.count(F.when(F.col("tf") >= 1, 1)).alias("df"))
     scored = tf.join(df, "word").withColumn(
         "score_micro", F.expr("tf * 1000000L DIV df")
     )

@@ -125,10 +125,15 @@ def test_extraction_has_exactly_one_exchange(spark, corpus_dir):
 
 
 def test_lang_id_stays_in_codegen(spark, reg):
+    """The marker regexes run as JVM codegen expressions, never in a
+    Python stage.  (With the r07 input-spread Exchange present the
+    pre-execution adaptive plan no longer prints "*(n)" codegen-span
+    markers, so the pin asserts the absence of Python eval nodes and
+    that the only Exchange is the round-robin spread.)"""
     plan = _plan(reg["lang_id"](spark, SF))
-    # "*(n)" prefixes mark whole-stage-codegen spans in the plan string
-    assert "*(" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "MapInArrow" not in plan
+    assert plan.count("Exchange") == 1 and "RoundRobinPartitioning" in plan
 
 
 def test_top_terms_partial_agg_and_takeordered(spark, reg):
@@ -137,12 +142,17 @@ def test_top_terms_partial_agg_and_takeordered(spark, reg):
     plan = _plan(reg["top_terms"](spark, SF))
     assert "partial" in plan.lower()
     assert "TakeOrderedAndProject" in plan
-    assert plan.count("Exchange") == 1  # one shuffle for the final agg
+    # one shuffle for the final agg + the r07 round-robin input spread
+    assert plan.count("Exchange") == 2
+    assert "RoundRobinPartitioning" in plan
 
 
 def test_pii_scan_no_shuffle_no_python(spark, reg):
     plan = _plan(reg["pii_scan"](spark, SF))
-    assert "Exchange" not in plan
+    # the only Exchange is the r07 round-robin input spread — no
+    # hash/range shuffle, and the regex counts stay in the JVM
+    assert "hashpartitioning" not in plan and "rangepartitioning" not in plan
+    assert plan.count("Exchange") == 1 and "RoundRobinPartitioning" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
