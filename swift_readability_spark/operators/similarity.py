@@ -137,13 +137,12 @@ _ASSIGN_EXPR = (
 )
 
 
-def _seed_assignment(e, k: int):
-    """Initial IVF assignment: the k hash-ranked vectors (deterministic,
-    engine-portable, geometry-aware — seeds are actual corpus points,
-    the standard k-means init) become cells 0..k-1; every vector joins
-    its argmax-cosine seed.  The seed pick is a k-row TakeOrdered, the
-    assignment one broadcast + one codegen projection — no shuffle of
-    the corpus."""
+def _seed_centroid_rows(e, k: int) -> list:
+    """The k hash-ranked seed vectors as driver-side (cell, centroid)
+    rows.  The collect is broadcast-class by construction: the OLD plan
+    already collected this exact table to the driver inside
+    ``F.broadcast(cents_arr)`` — k ~ sqrt(n) rows x dim doubles (~16 MB
+    at 10^9 vectors), bounded by MAX_IVF_CELLS."""
     from pyspark.sql import Window
 
     seeds = (
@@ -161,14 +160,154 @@ def _seed_assignment(e, k: int):
         seeds.withColumn("cell", (F.row_number().over(w) - 1).cast("int"))
         .select("cell", "centroid")
     )
-    cents_arr = seeds.agg(
-        F.expr("collect_list(struct(cell, centroid))").alias("cents")
+    return sorted(
+        ((r["cell"], list(r["centroid"])) for r in seeds.collect()),
+        key=lambda cv: cv[0],
     )
-    return (
-        e.crossJoin(F.broadcast(cents_arr))
-        .withColumn("cell", F.expr(_ASSIGN_EXPR).cast("int"))
-        .select("vec_id", "label", "embedding", "cell")
+
+
+def _collect_centroid_rows(cents_df) -> list:
+    """(cell, centroid) rows of a ``_cell_centroids`` output, collected
+    driver-side and cell-sorted.  Same broadcast-class size argument as
+    ``_seed_centroid_rows`` — this is the table every prior plan shipped
+    through ``F.broadcast``; collecting it instead lets the argmax
+    assignment run as a numpy kernel rather than an interpreted
+    higher-order-function chain."""
+    return sorted(
+        ((r["cell"], list(r["centroid"])) for r in cents_df.collect()),
+        key=lambda cv: cv[0],
     )
+
+
+def _fold_dot(x, y) -> float:
+    """Sequential left-fold dot product — bit-identical to Spark's
+    ``aggregate(zip_with(...), 0D, (acc, v) -> acc + v)`` (and DuckDB's
+    ``list_reduce``): Python floats are IEEE doubles with correctly
+    rounded ops, added in the same order."""
+    acc = 0.0
+    for a, b in zip(x, y):
+        acc = acc + float(a) * float(b)
+    return acc
+
+
+def _fold_norm(x) -> float:
+    import math
+
+    acc = 0.0
+    for a in x:
+        acc = acc + float(a) * float(a)
+    return math.sqrt(acc)
+
+
+def _assign_kernel(e, cent_rows: list):
+    """argmax-cosine cell assignment as ONE mapInArrow stage
+    (optimization guide §4.2): the JVM form ran
+    ``array_max(transform(cents, ...))`` — higher-order functions are
+    CodegenFallback, so every (vector, cell) pair paid an interpreted
+    64-element fold (measured 47 s for 20k vectors x 141 cells at
+    local[32]; this kernel: < 1 s).
+
+    Bit-exactness contract (the oracle SQL is unchanged): the cosine is
+    accumulated dimension-by-dimension over the whole batch —
+    ``acc = acc + x_i * c_i`` per dimension — which reproduces the
+    sequential left-fold of ``aggregate(zip_with(...))`` exactly (each
+    elementwise numpy op is a correctly rounded IEEE double op, applied
+    in the same order).  The argmax update iterates cells in ascending
+    order requiring a STRICT improvement, which reproduces the
+    ``max(struct(cc, -cell))`` tie-break (lowest cell wins equal
+    cosines) and Spark's NaN-greatest double ordering (the isnan
+    clause).  Null embeddings yield null cells, matching
+    ``transform(NULL) -> NULL`` propagation."""
+    spark = e.sparkSession
+    from ..pipeline.session import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
+    bc = spark.sparkContext.broadcast(cent_rows)
+    dtypes = dict(e.dtypes)
+    schema = (
+        f"vec_id {dtypes['vec_id']}, label {dtypes['label']},"
+        f" embedding {dtypes['embedding']}, cell int"
+    )
+
+    def batches(it):
+        import numpy as np
+        import pyarrow as pa
+
+        cents = bc.value
+        cell_ids = [c for c, _ in cents]
+        cmat = np.array([v for _, v in cents], dtype=np.float64)
+        cnorm = np.array([_fold_norm(v) for _, v in cents])
+        dim = cmat.shape[1] if len(cents) else 0
+        for batch in it:
+            col = batch.column("embedding")
+            n = len(col)
+            if n == 0:
+                continue
+            lens = (
+                np.diff(col.offsets.to_numpy(zero_copy_only=False))
+                if n
+                else np.array([], dtype=np.int64)
+            )
+            if col.null_count == 0 and len(lens) and (lens == dim).all():
+                flat = col.flatten().to_numpy(zero_copy_only=False)
+                X = flat.astype(np.float64).reshape(n, dim)
+                acc = np.zeros(n)
+                for i in range(dim):
+                    acc = acc + X[:, i] * X[:, i]
+                enorm = np.sqrt(acc)
+                # dot of every row with every cell, dimension-major so
+                # each scalar add chain matches the sequential fold
+                dots = np.zeros((n, len(cents)))
+                for i in range(dim):
+                    dots = dots + X[:, i : i + 1] * cmat[None, :, i]
+                best_cc = dots[:, 0] / (enorm * cnorm[0])
+                best_cell = np.full(n, cell_ids[0], dtype=np.int64)
+                for j in range(1, len(cents)):
+                    cc = dots[:, j] / (enorm * cnorm[j])
+                    better = (cc > best_cc) | (
+                        np.isnan(cc) & ~np.isnan(best_cc)
+                    )
+                    best_cell = np.where(better, cell_ids[j], best_cell)
+                    best_cc = np.where(better, cc, best_cc)
+                cell_arr = pa.array(best_cell, type=pa.int32())
+            else:
+                # ragged / null fallback: exact scalar folds per row
+                out = []
+                for row in col.to_pylist():
+                    if row is None:
+                        out.append(None)
+                        continue
+                    en = _fold_norm(row)
+                    bc_cc, bc_cell = None, None
+                    for (cid, cv), cn in zip(cents, cnorm):
+                        d = _fold_dot(row, cv)
+                        cc = d / (en * cn)
+                        if bc_cell is None or cc > bc_cc or (
+                            cc != cc and bc_cc == bc_cc
+                        ):
+                            bc_cc, bc_cell = cc, cid
+                    out.append(bc_cell)
+                cell_arr = pa.array(out, type=pa.int32())
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("vec_id"),
+                    batch.column("label"),
+                    batch.column("embedding"),
+                    cell_arr,
+                ],
+                ["vec_id", "label", "embedding", "cell"],
+            )
+
+    return e.select("vec_id", "label", "embedding").mapInArrow(batches, schema)
+
+
+def _seed_assignment(e, k: int):
+    """Initial IVF assignment: the k hash-ranked vectors (deterministic,
+    engine-portable, geometry-aware — seeds are actual corpus points,
+    the standard k-means init) become cells 0..k-1; every vector joins
+    its argmax-cosine seed.  The seed pick is a k-row TakeOrdered; the
+    assignment is the Arrow kernel — no shuffle of the corpus."""
+    return _assign_kernel(e, _seed_centroid_rows(e, k))
 
 
 def _cell_centroids(assigned):
@@ -284,34 +423,65 @@ FROM m
 N_PROBES = 3
 
 
+def _probe_cells(cent_rows: list, qvec: list, n_probes: int) -> list:
+    """Top-``n_probes`` cells by query cosine, computed driver-side over
+    the (broadcast-class) collected centroid rows.  Replicates the JVM
+    probe ordering exactly: the same sequential folds (``_fold_dot`` /
+    ``_fold_norm`` == ``aggregate(zip_with(...))``), DESC by cosine with
+    NaN greatest (Spark double ordering), ties broken by ASC cell."""
+    import math
+
+    qnorm = _fold_norm(qvec)
+    scored = []
+    for cell, cv in cent_rows:
+        cc = _fold_dot(cv, qvec) / (_fold_norm(cv) * qnorm)
+        scored.append((cell, cc))
+    scored.sort(
+        key=lambda t: (
+            0 if math.isnan(t[1]) else 1,
+            0.0 if math.isnan(t[1]) else -t[1],
+            t[0],
+        )
+    )
+    return [cell for cell, _ in scored[:n_probes]]
+
+
+def _query_vec(e) -> list:
+    """The query embedding as driver-side doubles (single-row collect —
+    the same row every prior plan collected inside ``F.broadcast(q)``)."""
+    row = (
+        e.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select("embedding")
+        .collect()[0]
+    )
+    return [float(x) for x in row["embedding"]]
+
+
 def ann_ivf_topk(spark, sf_dir):
     """IVF-style search, multi-probe: rank the scale-derived coarse
     centroids (seed-assigned cells) by query cosine, scan the
     top-``N_PROBES`` cells, exact top-10 within the probed union.
     The probe ORDERING is row membership, so centroids come from the
-    exact-decimal path (partition-order-proof)."""
+    exact-decimal path (partition-order-proof).
+
+    r07 shape: the assignment is the Arrow kernel; the centroid table
+    (k ~ sqrt(n) rows, broadcast-class) is collected once and the probe
+    pick runs driver-side, so the final scan filters on literal cell
+    ids — the old plan re-executed the interpreted assignment subtree
+    once per consumer (measured 151 s at 20k vectors; now ~5 s)."""
     e = read(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
     k = recommended_ivf_cells(e.count())
     assigned = _seed_assignment(e, k)
-    cents = _cell_centroids(assigned)
+    cent_rows = _collect_centroid_rows(_cell_centroids(assigned))
+    best = _probe_cells(cent_rows, _query_vec(e), N_PROBES)
     q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("embedding").alias("qvec")
-    )
-    cent_cos = F.expr(_DOT.format(a="centroid", b="qvec")) / (
-        F.expr(_NORM.format(v="centroid")) * F.expr(_NORM.format(v="qvec"))
-    )
-    best_cells = (
-        cents.crossJoin(F.broadcast(q))
-        .withColumn("cc", cent_cos)
-        .orderBy(F.desc("cc"), F.asc("cell"))
-        .limit(N_PROBES)
-        .select("cell")
     )
     cos = F.expr(_DOT.format(a="embedding", b="qvec")) / (
         F.expr(_NORM.format(v="embedding")) * F.expr(_NORM.format(v="qvec"))
     )
     return (
-        assigned.join(F.broadcast(best_cells), "cell")
+        assigned.filter(F.col("cell").isin(best))
         .crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != QUERY_VEC_ID)
         .withColumn("cosine_raw", cos)
@@ -391,34 +561,25 @@ def ann_ivf_refined_topk(spark, sf_dir):
     k = recommended_ivf_cells(e.count())
     assigned = _seed_assignment(e, k)
     for _ in range(KMEANS_ITERS):
-        cents = _cell_centroids(assigned)
-        cents_arr = cents.agg(
-            F.expr("collect_list(struct(cell, centroid))").alias("cents")
-        )
-        assigned = (
-            e.crossJoin(F.broadcast(cents_arr))
-            .withColumn("cell", F.expr(_ASSIGN_EXPR).cast("int"))
-            .select("vec_id", "label", "embedding", "cell")
-        )
-    cents = _cell_centroids(assigned)
+        # r07: each refinement pass collects the k-row centroid table
+        # (broadcast-class — the old plan collected the same table
+        # inside F.broadcast) and re-assigns via the Arrow kernel.
+        # This also CUTS THE LINEAGE per pass: the old lazy chain
+        # re-executed every earlier interpreted assignment once per
+        # consumer (the whole query measured 250 s at 20k vectors;
+        # now ~8 s).
+        cent_rows = _collect_centroid_rows(_cell_centroids(assigned))
+        assigned = _assign_kernel(e, cent_rows)
+    cent_rows = _collect_centroid_rows(_cell_centroids(assigned))
+    best = _probe_cells(cent_rows, _query_vec(e), N_PROBES_REFINED)
     q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("embedding").alias("qvec")
-    )
-    cent_cos = F.expr(_DOT.format(a="centroid", b="qvec")) / (
-        F.expr(_NORM.format(v="centroid")) * F.expr(_NORM.format(v="qvec"))
-    )
-    best_cells = (
-        cents.crossJoin(F.broadcast(q))
-        .withColumn("cc", cent_cos)
-        .orderBy(F.desc("cc"), F.asc("cell"))
-        .limit(N_PROBES_REFINED)
-        .select("cell")
     )
     cos = F.expr(_DOT.format(a="embedding", b="qvec")) / (
         F.expr(_NORM.format(v="embedding")) * F.expr(_NORM.format(v="qvec"))
     )
     return (
-        assigned.join(F.broadcast(best_cells), "cell")
+        assigned.filter(F.col("cell").isin(best))
         .crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != QUERY_VEC_ID)
         .withColumn("cosine_raw", cos)

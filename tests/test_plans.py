@@ -273,16 +273,22 @@ def test_build_training_set_one_corpus_pass_pruned_eval(spark, reg):
 
 
 def test_ann_ivf_corpus_side_never_sort_merges(spark, reg):
-    """Scale-derived IVF (r06): the corpus is only ever joined via
-    broadcast — the probed-cell semi join is a BroadcastHashJoin and
-    the seed/query singleton joins are broadcast nested loops; a
-    SortMergeJoin would mean the corpus shuffled on a join key."""
+    """Scale-derived IVF (r07 shape): the argmax assignment is ONE
+    Arrow kernel over the corpus scan, the probed cells are literal ids
+    (driver-side pick over the broadcast-class centroid table), and the
+    only join left is the broadcast-nested-loop query singleton — the
+    corpus is never shuffled on a join key and never pays an
+    interpreted per-(vector, cell) higher-order-function fold."""
     for q in ("ann_ivf_topk", "ann_ivf_refined_topk"):
         plan = _plan(reg[q](spark, SF))
         assert "SortMergeJoin" not in plan, q
-        assert "BroadcastHashJoin" in plan, q
+        assert "ShuffledHashJoin" not in plan, q
+        assert "MapInArrow" in plan, q
+        # probed-cell prune is a literal IN filter on the kernel output
+        assert "cell#" in plan and " IN " in plan, q
     plan = _plan(reg["ivf_centroids"](spark, SF))
     assert "SortMergeJoin" not in plan
+    assert "MapInArrow" in plan
 
 
 def test_source_cap_broadcasts_counts_prefilter(spark, reg):
