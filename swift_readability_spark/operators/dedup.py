@@ -309,6 +309,96 @@ def _shingle_hash_batches(it):
         )
 
 
+def _shingle_h60_batches(it):
+    """Exploded (doc_id, n, sh_h) rows — the C-regex twin of
+    ``explode(array_distinct(_SPARK_SHINGLES))`` + ``_spark_hash60``:
+    per doc, one row per DISTINCT shingle carrying the distinct count
+    and the shingle's 60-bit md5 int (first 15 hex chars == first 8
+    digest bytes >> 4).  Null text explodes to nothing, matching
+    ``explode(NULL)``."""
+    from hashlib import md5
+
+    import pyarrow as pa
+
+    for batch in it:
+        texts = batch.column("text").to_pylist()
+        doc_ids = batch.column("doc_id").to_pylist()
+        id_type = batch.schema.field("doc_id").type
+        out_ids, out_n, out_h = [], [], []
+        words_per_doc, _c, _b = _tokenize_batch(texts)
+        for did, ws in zip(doc_ids, words_per_doc):
+            if ws is None:
+                continue
+            sh = list(dict.fromkeys(_shingles_for(ws)))
+            n = len(sh)
+            for s in sh:
+                out_ids.append(did)
+                out_n.append(n)
+                out_h.append(
+                    int.from_bytes(md5(s.encode()).digest()[:8], "big") >> 4
+                )
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(out_ids, type=id_type),
+                pa.array(out_n, type=pa.int32()),
+                pa.array(out_h, type=pa.int64()),
+            ],
+            ["doc_id", "n", "sh_h"],
+        )
+
+
+def _pair_hash_prefilter(spark, pairs, hs_map: dict, keep):
+    """Arrow prefilter over candidate (doc_a, doc_b) rows: intersect the
+    two docs' sorted 64-bit shingle-hash sets from a broadcast side
+    table and keep rows passing ``keep(c, na, nb)`` — a conservative
+    (collision-slack) form of the exact string-set condition, so the
+    tiny survivor set can be string-verified without ever shuffling
+    per-pair arrays (guide §8: decisions ride keys)."""
+    from ..pipeline.session import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
+    bc = spark.sparkContext.broadcast(hs_map)
+    dtypes = dict(pairs.dtypes)
+    schema = f"doc_a {dtypes['doc_a']}, doc_b {dtypes['doc_b']}"
+
+    def batches(it):
+        import numpy as np
+        import pyarrow as pa
+
+        table = bc.value
+        cache: dict = {}
+
+        def arr(doc):
+            got = cache.get(doc)
+            if got is None:
+                got = np.frombuffer(table[doc], dtype=np.uint64)
+                cache[doc] = got
+            return got
+
+        for batch in it:
+            das = batch.column("doc_a").to_pylist()
+            dbs = batch.column("doc_b").to_pylist()
+            mask = np.zeros(len(das), dtype=bool)
+            for i, (da, db) in enumerate(zip(das, dbs)):
+                ha, hb = arr(da), arr(db)
+                c = np.intersect1d(ha, hb, assume_unique=True).size
+                mask[i] = keep(c, ha.size, hb.size)
+            yield batch.filter(pa.array(mask))
+
+    return pairs.mapInArrow(batches, schema)
+
+
+def _shingle_hash_map(spark, d) -> dict:
+    """doc_id -> packed sorted 64-bit shingle-hash set, via one corpus
+    pass (collect is ~8 B x shingles/doc x docs — broadcast-class to
+    ~1e7 docs; band the candidate join past that)."""
+    id_t = dict(d.dtypes)["doc_id"]
+    rows = d.mapInArrow(
+        _shingle_hash_batches, f"doc_id {id_t}, hs binary"
+    ).collect()
+    return {r["doc_id"]: r["hs"] for r in rows if r["hs"] is not None}
+
+
 def _shingle_batches(it):
     """Distinct 3-word shingle STRING arrays per doc — the C-regex twin
     of ``array_distinct(_SPARK_SHINGLES)`` (mllib_minhash_pairs needs
@@ -975,44 +1065,15 @@ def mllib_minhash_pairs(spark, sf_dir):
         & (F.col("a.h") == F.col("b.h"))
         & (F.col("a.doc_id") < F.col("b.doc_id")),
     ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-    # broadcast side table: doc_id -> sorted 64-bit shingle-hash set
-    hs_rows = d.mapInArrow(
-        _shingle_hash_batches, f"doc_id {id_t}, hs binary"
-    ).collect()
-    hs_bc = spark.sparkContext.broadcast(
-        {r["doc_id"]: r["hs"] for r in hs_rows if r["hs"] is not None}
-    )
-
-    def _prefilter(it):
-        import numpy as np
-        import pyarrow as pa
-
-        table = hs_bc.value
-        cache: dict = {}
-
-        def arr(doc):
-            got = cache.get(doc)
-            if got is None:
-                got = np.frombuffer(table[doc], dtype=np.uint64)
-                cache[doc] = got
-            return got
-
-        for batch in it:
-            das = batch.column("doc_a").to_pylist()
-            dbs = batch.column("doc_b").to_pylist()
-            keep = np.zeros(len(das), dtype=bool)
-            for i, (da, db) in enumerate(zip(das, dbs)):
-                ha, hb = arr(da), arr(db)
-                c = np.intersect1d(ha, hb, assume_unique=True).size
-                # Jaccard >= 0.5 with 2-collision slack (see docstring)
-                keep[i] = 3 * c + 6 >= ha.size + hb.size
-            yield batch.filter(pa.array(keep))
-
-    pairs = (
-        raw_pairs.mapInArrow(
-            _prefilter, f"doc_a {id_t}, doc_b {id_t}"
-        ).distinct()
-    )
+    # Jaccard >= 0.5 with 2-collision slack (see docstring); prefilter
+    # runs BEFORE the distinct, so the dedup shuffle only carries
+    # survivors
+    pairs = _pair_hash_prefilter(
+        spark,
+        raw_pairs,
+        _shingle_hash_map(spark, d),
+        lambda c, na, nb: 3 * c + 6 >= na + nb,
+    ).distinct()
     sa = shingled.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sa"))
     sb = shingled.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sb"))
     with_a = sa.join(F.broadcast(pairs), "doc_a")
@@ -1547,21 +1608,29 @@ def containment_pairs(spark, sf_dir):
     (subject to the ``CONTAINMENT_MAX_DF`` prefix cap) — catches
     subset-duplication that symmetric Jaccard under-scores.
 
-    Plan: one explode + df groupBy (map-side partial, 60-bit hash
-    keys), a per-doc row_number window in the global (df, hash) order,
-    the prefix-vs-full equi-join on the shingle hash (prefix side is
-    rare-only by construction), pair dedup, then the exact
-    array_intersect verify on the two docs' shingle sets."""
-    d = read(spark, sf_dir, "documents")
-    sets = (
-        d.selectExpr("doc_id", f"{_SPARK_NORM} AS norm")
-        .selectExpr("doc_id", f"array_distinct({_SPARK_SHINGLES}) AS shingles")
+    Plan (r07 Arrow shape): the exploded (doc_id, n, sh_h) table comes
+    from ONE mapInArrow kernel (C-regex shingles + C md5 — the JVM
+    explode + interpreted md5/conv chain measured 17 s per subtree at
+    50k docs, and the plan re-ran it for the df table, the prefix side
+    AND the full side), then df groupBy (map-side partial, 60-bit hash
+    keys), the per-doc row_number window in the global (df, hash)
+    order, the prefix-vs-full equi-join on the shingle hash (prefix
+    side rare-only by construction).  RAW candidate pairs (5.7M
+    distinct at 50k docs) go through the broadcast 64-bit shingle-hash
+    prefilter BEFORE the dedup shuffle — 2*c + 6 >= min(na, nb) is the
+    exact condition with a 2-collision slack — and only the tiny
+    survivor set re-attaches shingle strings for the exact
+    array_intersect verify."""
+    from ..pipeline.session import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
+    d, id_t = _spread_docs(spark, sf_dir)
+    ex = d.mapInArrow(
+        _shingle_h60_batches, f"doc_id {id_t}, n int, sh_h bigint"
     )
-    ex = sets.select(
-        "doc_id",
-        F.size("shingles").alias("n"),
-        F.explode("shingles").alias("shingle"),
-    ).withColumn("sh_h", F.expr(_spark_hash60("shingle")))
+    sets = d.mapInArrow(
+        _shingle_batches, f"doc_id {id_t}, shingles array<string>"
+    )
     df_tbl = ex.groupBy("sh_h").agg(F.count("*").alias("df"))
     ranked = ex.join(df_tbl, "sh_h")
     w = Window.partitionBy("doc_id").orderBy("df", "sh_h")
@@ -1571,24 +1640,26 @@ def containment_pairs(spark, sf_dir):
         .filter(F.col("df") <= CONTAINMENT_MAX_DF)
         .select(F.col("doc_id").alias("doc_p"), "sh_h")
     )
-    cand = (
+    cand_raw = (
         prefix.join(ex.select(F.col("doc_id").alias("doc_f"), "sh_h"), "sh_h")
         .filter(F.col("doc_p") != F.col("doc_f"))
         .select(
             F.least("doc_p", "doc_f").alias("doc_a"),
             F.greatest("doc_p", "doc_f").alias("doc_b"),
         )
-        .distinct()
     )
+    cand = _pair_hash_prefilter(
+        spark,
+        cand_raw,
+        _shingle_hash_map(spark, d),
+        lambda c, na, nb: 2 * c + 6 >= min(na, nb),
+    ).distinct()
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sa"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sb"))
+    with_a = sa.join(F.broadcast(cand), "doc_a")
+    with_b = sb.join(F.broadcast(cand), "doc_b").select("doc_a", "doc_b", "sb")
     return (
-        cand.join(
-            sets.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sa")),
-            "doc_a",
-        )
-        .join(
-            sets.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sb")),
-            "doc_b",
-        )
+        with_a.join(F.broadcast(with_b), ["doc_a", "doc_b"])
         .withColumn("common", F.size(F.array_intersect("sa", "sb")))
         # threshold on the EXACT rational (2*common >= n — integer
         # compare, engine-identical, and precisely the prefix-filter
@@ -1662,17 +1733,15 @@ def containment_stats(spark, sf_dir):
     occurrence mass they carry, and how many documents actually lost
     prefix entries to the cap — the operator's recall caveat, sized
     instead of assumed.  Pure integer aggregates over the same
-    explode + df-groupBy + rank window the pair query runs; one row."""
-    d = read(spark, sf_dir, "documents")
-    sets = (
-        d.selectExpr("doc_id", f"{_SPARK_NORM} AS norm")
-        .selectExpr("doc_id", f"array_distinct({_SPARK_SHINGLES}) AS shingles")
+    explode + df-groupBy + rank window the pair query runs (from the
+    same r07 Arrow kernel); one row."""
+    from ..pipeline.session import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
+    d, id_t = _spread_docs(spark, sf_dir)
+    ex = d.mapInArrow(
+        _shingle_h60_batches, f"doc_id {id_t}, n int, sh_h bigint"
     )
-    ex = sets.select(
-        "doc_id",
-        F.size("shingles").alias("n"),
-        F.explode("shingles").alias("shingle"),
-    ).withColumn("sh_h", F.expr(_spark_hash60("shingle")))
     df_tbl = ex.groupBy("sh_h").agg(F.count("*").alias("df"))
     sh_stats = df_tbl.agg(
         F.count("*").cast("bigint").alias("n_shingles"),
