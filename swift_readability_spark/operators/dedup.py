@@ -309,6 +309,53 @@ def _shingle_hash_batches(it):
         )
 
 
+def _bucket_hamming_batches(it):
+    """Per Hamming-band bucket: expand member pairs and keep those with
+    XOR-popcount <= SIMHASH_MAX_HAMMING, vectorized over the bucket's
+    pair matrix.  Members arrive sorted (sort_array upstream), so
+    emitted pairs keep doc_a < doc_b exactly like the lambda form;
+    null-fingerprint members are skipped (the lambda form paired them
+    and then dropped the null hamming)."""
+    import numpy as np
+    import pyarrow as pa
+
+    try:
+        _popcount = np.bitwise_count  # numpy >= 2.0
+    except AttributeError:
+        _lut = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+        def _popcount(x):
+            return _lut[x.view(np.uint8).reshape(x.shape + (8,))].sum(-1)
+
+    for batch in it:
+        id_type = batch.schema.field("members").type.value_type.field(
+            "doc_id"
+        ).type
+        out_a, out_b, out_h = [], [], []
+        for members in batch.column("members").to_pylist():
+            live = [m for m in members if m["simhash"] is not None]
+            n = len(live)
+            if n < 2:
+                continue
+            ids = [m["doc_id"] for m in live]
+            fps = np.array([m["simhash"] for m in live], dtype=np.uint64)
+            hm = _popcount(fps[:, None] ^ fps[None, :])
+            ii, jj = np.triu_indices(n, 1)
+            ok = hm[ii, jj] <= SIMHASH_MAX_HAMMING
+            for i, j, h in zip(ii[ok], jj[ok], hm[ii, jj][ok]):
+                out_a.append(ids[i])
+                out_b.append(ids[j])
+                out_h.append(int(h))
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(out_a, type=id_type),
+                pa.array(out_b, type=id_type),
+                pa.array(out_h, type=pa.int32()),
+            ],
+            ["doc_a", "doc_b", "hamming"],
+        )
+
+
 def _shingle_h60_batches(it):
     """Exploded (doc_id, n, sh_h) rows — the C-regex twin of
     ``explode(array_distinct(_SPARK_SHINGLES))`` + ``_spark_hash60``:
@@ -834,24 +881,21 @@ def simhash_neardup_pairs(spark, sf_dir):
             ).alias("members")
         )
     )
-    pairs = buckets.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(members, (x, i) ->"
-                " transform(slice(members, i + 2, size(members)), y ->"
-                " struct(x.doc_id AS doc_a, y.doc_id AS doc_b,"
-                " x.simhash AS sh_a, y.simhash AS sh_b))))"
-            )
-        ).alias("p")
-    ).select("p.*").distinct()
-    return (
-        pairs.withColumn(
-            "hamming",
-            F.expr("bit_count(sh_a ^ sh_b)").cast("int"),
-        )
-        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
-        .select("doc_a", "doc_b", "hamming")
+    # r07 (guide §4.2): per-bucket pair expansion + Hamming filter in
+    # ONE Arrow kernel.  The lambda form materialized every in-bucket
+    # pair as an interpreted struct (~19M at 50k docs — avg bucket is
+    # n/2^band_bits) and ran DISTINCT on all of them before the
+    # hamming <= 3 filter; the kernel XOR/popcounts the bucket matrix
+    # in numpy and emits only qualifying pairs, so the dedup shuffle
+    # carries the output-sized survivor set.  36 -> ~3 s at 50k docs.
+    id_t = dict(sig.dtypes)["doc_id"]
+    from ..pipeline.session import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
+    pairs = buckets.select("members").mapInArrow(
+        _bucket_hamming_batches, f"doc_a {id_t}, doc_b {id_t}, hamming int"
     )
+    return pairs.distinct()
 
 
 def _simhash_neardup_sql() -> str:
@@ -894,43 +938,141 @@ def _with_planted(e):
     return e.select("vec_id", "embedding", "label").unionByName(planted)
 
 
+def _hyperplane_sig_batches(planes):
+    """mapInArrow factory: per-vector hyperplane signature with the
+    EXACT sequential-fold dot of ``_sig_expr_spark`` (dimension-major
+    accumulation; strict > 0 per plane; null embedding -> null sig)."""
+
+    def batches(it):
+        import numpy as np
+        import pyarrow as pa
+
+        pm = np.array(planes, dtype=np.float64)
+        n_planes, dim = pm.shape
+        for batch in it:
+            col = batch.column("embedding")
+            n = len(col)
+            if n == 0:
+                continue
+            lens = np.diff(col.offsets.to_numpy(zero_copy_only=False))
+            if col.null_count == 0 and (lens == dim).all():
+                X = (
+                    col.flatten()
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.float64)
+                    .reshape(n, dim)
+                )
+                sig = np.zeros(n, dtype=np.int64)
+                for b in range(n_planes):
+                    acc = np.zeros(n)
+                    for i in range(dim):
+                        acc = acc + X[:, i] * pm[b, i]
+                    sig |= (acc > 0).astype(np.int64) << b
+                sig_arr = pa.array(sig, type=pa.int64())
+            else:
+                vals = []
+                for row in col.to_pylist():
+                    if row is None:
+                        vals.append(None)
+                        continue
+                    s = 0
+                    for b in range(n_planes):
+                        acc = 0.0
+                        for x, h in zip(row, pm[b]):
+                            acc = acc + float(x) * h
+                        if acc > 0:
+                            s |= 1 << b
+                    vals.append(s)
+                sig_arr = pa.array(vals, type=pa.int64())
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("vec_id"), sig_arr], ["vec_id", "sig"]
+            )
+
+    return batches
+
+
 def embedding_neardup_pairs(spark, sf_dir):
     """Embedding-cosine near-dup, LABEL-FREE: blocking is the 8-bit
     random-hyperplane signature (the same fixed hyperplanes as
     ``ann_hyperplane_topk``) — real corpora carry no labels, and two
     near-identical vectors land in the same signature bucket, so the
     quadratic pair expansion happens only inside a bucket (1/256 of
-    the corpus on average; widen the signature at 10^9+ vectors)."""
-    from .similarity import _sig_expr_spark
+    the corpus on average; widen the signature at 10^9+ vectors).
 
-    e = _with_planted(read(spark, sf_dir, "embeddings"))
-    sig = e.withColumn("sig", F.expr(_sig_expr_spark("embedding")))
-    dot = (
-        "aggregate(zip_with(a.embedding, b.embedding,"
-        " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"
+    r07 shape (guide §4.2/§8): both the signature and the per-pair
+    cosine verify ran as interpreted higher-order-function folds — the
+    in-bucket pair mass is n^2/256 (1.5M pairs at 20k vectors), so the
+    verify paid ~1.5M interpreted 64-dim folds (32 s).  Now the
+    signature is one Arrow kernel, the bucket join carries only
+    (vec_id, sig), and the verify kernel looks both vectors up in a
+    broadcast float table (dim x 4 B per vector) and reproduces the
+    exact fold arithmetic, threshold and floor-rounding in numpy —
+    32 -> ~2 s, bit-identical membership and values."""
+    from .similarity import HYPERPLANES
+
+    from ..pipeline.session import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
+    e = spread(
+        spark, _with_planted(read(spark, sf_dir, "embeddings")).select(
+            "vec_id", "embedding"
+        )
     )
-    norm = (
-        "sqrt(aggregate(transform({side}.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
-        " 0D, (acc, v) -> acc + v))"
+    sig = e.mapInArrow(
+        _hyperplane_sig_batches(HYPERPLANES), "vec_id bigint, sig bigint"
     )
-    a = sig.alias("a")
-    b = sig.alias("b")
-    # threshold on the RAW cosine (identical IEEE folds in both
-    # engines); floor-based rounding is output-only (text.py::_r)
-    return (
+    a, b = sig.alias("a"), sig.alias("b")
+    pairs = (
         a.join(b, "sig")
         .filter(F.col("a.vec_id") < F.col("b.vec_id"))
-        .withColumn(
-            "cosine_raw",
-            F.expr(dot)
-            / (F.expr(norm.format(side="a")) * F.expr(norm.format(side="b"))),
-        )
-        .filter(F.col("cosine_raw") >= NEARDUP_MIN_COSINE)
         .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            (F.floor(F.col("cosine_raw") * 10000 + 0.5) / 10000).alias("cosine"),
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
         )
+    )
+    vec_rows = e.collect()
+    table = {
+        r["vec_id"]: r["embedding"]
+        for r in vec_rows
+        if r["embedding"] is not None
+    }
+    bc = spark.sparkContext.broadcast(table)
+
+    def verify(it):
+        import numpy as np
+        import pyarrow as pa
+
+        tbl = {k: np.asarray(v, dtype=np.float64) for k, v in bc.value.items()}
+        for batch in it:
+            vas = batch.column("vec_a").to_pylist()
+            vbs = batch.column("vec_b").to_pylist()
+            if not vas:
+                continue
+            A = np.stack([tbl[v] for v in vas])
+            B = np.stack([tbl[v] for v in vbs])
+            n, dim = A.shape
+            dot = np.zeros(n)
+            na = np.zeros(n)
+            nb = np.zeros(n)
+            for i in range(dim):
+                dot = dot + A[:, i] * B[:, i]
+                na = na + A[:, i] * A[:, i]
+                nb = nb + B[:, i] * B[:, i]
+            cos = dot / (np.sqrt(na) * np.sqrt(nb))
+            keep = cos >= NEARDUP_MIN_COSINE
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("vec_a").filter(pa.array(keep)),
+                    batch.column("vec_b").filter(pa.array(keep)),
+                    pa.array(
+                        np.floor(cos[keep] * 10000 + 0.5) / 10000,
+                        type=pa.float64(),
+                    ),
+                ],
+                ["vec_a", "vec_b", "cosine"],
+            )
+
+    return pairs.mapInArrow(
+        verify, "vec_a bigint, vec_b bigint, cosine double"
     )
 
 
