@@ -50,6 +50,67 @@ _SPARK_CHUNKS = f"regexp_extract_all({_SPARK_NORM}, '{_CHUNK_RE}', 0)"
 _DUCK_CHUNKS = f"regexp_extract_all({_DUCK_NORM}, '{_CHUNK_RE}', 0)"
 
 
+def _chunk_exploded_batches(it):
+    """(doc_id, chunk_idx, chunk, chunk_h) rows — the C-regex twin of
+    ``posexplode(_SPARK_CHUNKS)`` + ``_spark_hash60(chunk)``: the norm
+    text split into consecutive <=CHUNK_WORDS-word chunks (exactly the
+    greedy lookahead matches).  Null/empty text explodes to nothing."""
+    from hashlib import md5
+
+    import pyarrow as pa
+
+    from .dedup import _tokenize_batch
+
+    for batch in it:
+        texts = batch.column("text").to_pylist()
+        doc_ids = batch.column("doc_id").to_pylist()
+        id_type = batch.schema.field("doc_id").type
+        out_id, out_idx, out_c, out_h = [], [], [], []
+        words_per_doc, _c, _b = _tokenize_batch(texts)
+        for did, ws in zip(doc_ids, words_per_doc):
+            if not ws:
+                continue
+            for idx, i in enumerate(range(0, len(ws), CHUNK_WORDS)):
+                chunk = " ".join(ws[i : i + CHUNK_WORDS])
+                out_id.append(did)
+                out_idx.append(idx)
+                out_c.append(chunk)
+                out_h.append(
+                    int.from_bytes(md5(chunk.encode()).digest()[:8], "big") >> 4
+                )
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(out_id, type=id_type),
+                pa.array(out_idx, type=pa.int32()),
+                pa.array(out_c, type=pa.string()),
+                pa.array(out_h, type=pa.int64()),
+            ],
+            ["doc_id", "chunk_idx", "chunk", "chunk_h"],
+        )
+
+
+def _chunk_count_batches(it):
+    """(doc_id, n_chunks) — ``size(_SPARK_CHUNKS)`` as bigint: 0 for
+    empty text, null for null text (size(NULL) semantics)."""
+    import pyarrow as pa
+
+    from .dedup import _tokenize_batch
+
+    for batch in it:
+        texts = batch.column("text").to_pylist()
+        words_per_doc, _c, _b = _tokenize_batch(texts)
+        counts = [
+            None
+            if ws is None
+            else (len(ws) + CHUNK_WORDS - 1) // CHUNK_WORDS
+            for ws in words_per_doc
+        ]
+        yield pa.RecordBatch.from_arrays(
+            [batch.column("doc_id"), pa.array(counts, type=pa.int64())],
+            ["doc_id", "n_chunks"],
+        )
+
+
 def paragraph_dedup(spark, sf_dir):
     """CCNet-style chunk-level dedup: drop every occurrence of a
     normalized 10-word chunk that appears more than once corpus-wide
@@ -63,12 +124,21 @@ def paragraph_dedup(spark, sf_dir):
     count groups on a 60-bit md5 of the chunk, never the string: the
     count shuffle and the broadcast dup set carry 8-byte ints, and the
     chunk text itself only rides the doc_id-keyed reassembly.
-    """
-    d = read(spark, sf_dir, "documents")
-    chunks = d.selectExpr("doc_id", f"{_SPARK_CHUNKS} AS chunks")
-    exploded = chunks.select(
-        "doc_id", F.posexplode("chunks").alias("chunk_idx", "chunk")
-    ).withColumn("chunk_h", F.expr(_spark_hash60("chunk")))
+
+    r07: chunking + hashing run in one Arrow kernel (C regex + C md5 —
+    the JVM chunk regex + interpreted per-chunk md5/conv subtree was
+    re-executed for the dup table, the keep side and the count side;
+    17 -> ~5 s at 50k docs)."""
+    from ..pipeline.session import ensure_package_on_workers
+
+    from .dedup import _spread_docs
+
+    ensure_package_on_workers(spark)
+    d, id_t = _spread_docs(spark, sf_dir)
+    exploded = d.mapInArrow(
+        _chunk_exploded_batches,
+        f"doc_id {id_t}, chunk_idx int, chunk string, chunk_h bigint",
+    )
     dup_chunks = (
         exploded.select("chunk_h")
         .groupBy("chunk_h")
@@ -88,7 +158,7 @@ def paragraph_dedup(spark, sf_dir):
         )
     )
     return (
-        chunks.select("doc_id", F.size("chunks").cast("bigint").alias("n_chunks"))
+        d.mapInArrow(_chunk_count_batches, f"doc_id {id_t}, n_chunks bigint")
         .join(kept, "doc_id", "left")
         .select(
             "doc_id",
@@ -467,14 +537,18 @@ def chunk_dedup_stats(spark, sf_dir):
     """The audit for paragraph_dedup ("no silent caps" rule): how much
     text the >1-occurrence rule removes.  One explode + chunk-hash
     groupBy (map-side partial, 8-byte shuffle keys — same 60-bit md5
-    stand-in as paragraph_dedup) + a single-row rollup."""
-    d = read(spark, sf_dir, "documents")
-    chunks = d.selectExpr("doc_id", f"{_SPARK_CHUNKS} AS chunks")
-    exploded = chunks.select(
-        F.expr(f"explode(transform(chunks, c -> {_spark_hash60('c')}))").alias(
-            "chunk_h"
-        )
-    )
+    stand-in as paragraph_dedup, from the same r07 Arrow kernel) + a
+    single-row rollup."""
+    from ..pipeline.session import ensure_package_on_workers
+
+    from .dedup import _spread_docs
+
+    ensure_package_on_workers(spark)
+    d, id_t = _spread_docs(spark, sf_dir)
+    exploded = d.mapInArrow(
+        _chunk_exploded_batches,
+        f"doc_id {id_t}, chunk_idx int, chunk string, chunk_h bigint",
+    ).select("chunk_h")
     per_chunk = exploded.groupBy("chunk_h").agg(F.count("*").alias("freq"))
     return per_chunk.select(
         F.sum("freq").cast("bigint").alias("n_occurrences"),

@@ -694,11 +694,15 @@ def ngram_jaccard_pairs(spark, sf_dir):
     on the uniformly-distributed ``doc_id`` — to a per-doc distinct
     shingle-set table, and Jaccard is a per-pair array_intersect:
     work is O(|candidates| * |shingles per doc|), no shingle-keyed
-    shuffle exists anywhere."""
-    d = read(spark, sf_dir, "documents")
-    sets = (
-        d.selectExpr("doc_id", f"{_SPARK_NORM} AS norm")
-        .selectExpr("doc_id", f"array_distinct({_SPARK_SHINGLES}) AS shingles")
+    shuffle exists anywhere.  r07: the shingle-set table comes from the
+    same C-regex Arrow kernel as mllib/containment (the JVM regex +
+    array_distinct subtree ran once per join side)."""
+    from ..pipeline.session import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
+    d, id_t = _spread_docs(spark, sf_dir)
+    sets = d.mapInArrow(
+        _shingle_batches, f"doc_id {id_t}, shingles array<string>"
     )
     cand = lsh_candidate_pairs(spark, sf_dir)
     return (
@@ -2061,33 +2065,82 @@ def _gram_expr_duck(n: int) -> str:
     )
 
 
+def _gram_h60_batches(n: int):
+    """mapInArrow factory: exploded DISTINCT n-gram 60-bit md5 ints per
+    doc — the C twin of ``explode(array_distinct(transform(
+    _gram_expr_spark(n), g -> _spark_hash60(g))))``.  Distinctness is
+    on the HASH (exactly like the array form); < n words or null text
+    explodes to nothing."""
+
+    def batches(it):
+        from hashlib import md5
+
+        import pyarrow as pa
+
+        for batch in it:
+            texts = batch.column("text").to_pylist()
+            doc_ids = batch.column("doc_id").to_pylist()
+            id_type = batch.schema.field("doc_id").type
+            out_ids, out_h = [], []
+            words_per_doc, _c, _b = _tokenize_batch(texts)
+            for did, ws in zip(doc_ids, words_per_doc):
+                if ws is None or len(ws) < n:
+                    continue
+                seen = set()
+                for i in range(len(ws) - n + 1):
+                    h = (
+                        int.from_bytes(
+                            md5(" ".join(ws[i : i + n]).encode()).digest()[:8],
+                            "big",
+                        )
+                        >> 4
+                    )
+                    if h not in seen:
+                        seen.add(h)
+                        out_ids.append(did)
+                        out_h.append(h)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out_ids, type=id_type), pa.array(out_h, type=pa.int64())],
+                ["doc_id", "gram"],
+            )
+
+    return batches
+
+
 def decontaminate_against_eval(spark, sf_dir):
     """Per non-eval document: does it share any {DECON_NGRAM}-gram with
     the eval set, and how many distinct grams overlap.  Grams are
     60-bit md5 ints from the start — the broadcast eval set and the
-    explode+groupBy shuffle carry 8-byte keys, never gram strings."""
-    d = read(spark, sf_dir, "documents")
-    grams = d.selectExpr(
-        "doc_id", f"{_SPARK_NORM} AS norm"
-    ).selectExpr(
-        "doc_id",
-        f"array_distinct(transform({_gram_expr_spark(DECON_NGRAM)},"
-        f" g -> {_spark_hash60('g')})) AS grams",
-    )
+    explode+groupBy shuffle carry 8-byte keys, never gram strings.
+
+    r07: gram extraction + hashing run in one Arrow kernel per side
+    (the JVM ``transform(grams, g -> md5/conv)`` paid an interpreted
+    hash per gram — 19.5 -> ~3 s at 50k docs); the eval-side doc_id
+    filter sits below its kernel so it pushes to the parquet scan."""
+    from ..pipeline.session import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
+    base = read(spark, sf_dir, "documents").select("doc_id", "text")
+    id_t = dict(base.dtypes)["doc_id"]
+    gk = _gram_h60_batches(DECON_NGRAM)
+    schema = f"doc_id {id_t}, gram bigint"
     eval_grams = (
-        grams.filter(F.col("doc_id") < EVAL_SET_SIZE)
-        .select(F.explode("grams").alias("gram"))
+        base.filter(F.col("doc_id") < EVAL_SET_SIZE)
+        .mapInArrow(gk, schema)
+        .select("gram")
         .distinct()
     )
-    corpus = grams.filter(F.col("doc_id") >= EVAL_SET_SIZE)
+    corpus_grams = spread(
+        spark, base.filter(F.col("doc_id") >= EVAL_SET_SIZE)
+    ).mapInArrow(gk, schema)
     hits = (
-        corpus.select("doc_id", F.explode("grams").alias("gram"))
-        .join(F.broadcast(eval_grams), "gram", "left_semi")
+        corpus_grams.join(F.broadcast(eval_grams), "gram", "left_semi")
         .groupBy("doc_id")
         .agg(F.count("*").alias("overlap_grams"))
     )
     return (
-        corpus.select("doc_id")
+        base.filter(F.col("doc_id") >= EVAL_SET_SIZE)
+        .select("doc_id")
         .join(hits, "doc_id", "left")
         .select(
             "doc_id",
@@ -2341,18 +2394,68 @@ def drain_cc_releases():
         _CC_PENDING_RELEASES.pop()()
 
 
+# Edge-count gate for the driver-side union-find fast path: the edge
+# list is the VERIFIED near-dup pair set — the output of an oracled
+# query, orders of magnitude smaller than the corpus — so up to this
+# many edges it is broadcast-class and a single-pass union-find beats
+# ~10 distributed label-propagation rounds of per-round job overhead
+# (measured 15 s of rounds for a few-hundred-edge graph at local[32]).
+# Past the gate the distributed pointer-doubling path runs unchanged —
+# the same two-regime design as GraphX/GraphFrames CC.
+CC_SMALL_GRAPH_MAX_EDGES = 2_000_000
+
+
+def _union_find_clusters(edge_rows):
+    """min-reachable-id labels for a small edge list (exact twin of the
+    distributed fixpoint: cluster_id = min doc_id in the component)."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edge_rows:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+    cluster_min: dict = {}
+    for v in parent:
+        r = find(v)
+        m = cluster_min.get(r)
+        if m is None or v < m:
+            cluster_min[r] = v
+    return [(v, cluster_min[find(v)]) for v in parent]
+
+
 def dedup_clusters(spark, sf_dir):
     """(doc_id, cluster_id) for every doc in a verified near-dup pair;
     cluster_id = min doc_id reachable through the pair graph.  Raises
     :class:`CCNotConverged` rather than ever returning split clusters
     from an un-converged propagation.
 
-    The final label table (cache or localCheckpoint) is parked on the
-    session release registry and freed when the NEXT dedup_clusters
-    call starts (or when the caller invokes :func:`drain_cc_releases`),
-    so repeated batch runs in one session do not accumulate label-table
-    copies."""
+    r07: graphs up to ``CC_SMALL_GRAPH_MAX_EDGES`` verified pairs run
+    a driver-side union-find over the collected edge list (bounded by
+    a limit probe, so the oversize case never materializes on the
+    driver) — identical labels by construction, none of the per-round
+    scheduling overhead.  Bigger graphs take the distributed
+    pointer-doubling path, whose final label table (cache or
+    localCheckpoint) is parked on the session release registry and
+    freed when the NEXT dedup_clusters call starts (or via
+    :func:`drain_cc_releases`)."""
     edges = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    probe = edges.limit(CC_SMALL_GRAPH_MAX_EDGES + 1).collect()
+    if len(probe) <= CC_SMALL_GRAPH_MAX_EDGES:
+        labels = _union_find_clusters([(r["doc_a"], r["doc_b"]) for r in probe])
+        schema = edges.select(
+            F.col("doc_a").alias("doc_id"), F.col("doc_a").alias("cluster_id")
+        ).schema
+        return spark.createDataFrame(labels, schema)
     drain_cc_releases()
     return connected_components(edges, checkpoint_release=_CC_PENDING_RELEASES)
 
