@@ -942,10 +942,12 @@ def _with_planted(e):
     return e.select("vec_id", "embedding", "label").unionByName(planted)
 
 
-def _hyperplane_sig_batches(planes):
+def _hyperplane_sig_batches(planes, keep_embedding: bool = False):
     """mapInArrow factory: per-vector hyperplane signature with the
     EXACT sequential-fold dot of ``_sig_expr_spark`` (dimension-major
-    accumulation; strict > 0 per plane; null embedding -> null sig)."""
+    accumulation; strict > 0 per plane; null embedding -> null sig).
+    ``keep_embedding`` passes the vector through for consumers that
+    rerank candidates (the hyperplane ANN queries)."""
 
     def batches(it):
         import numpy as np
@@ -988,9 +990,15 @@ def _hyperplane_sig_batches(planes):
                             s |= 1 << b
                     vals.append(s)
                 sig_arr = pa.array(vals, type=pa.int64())
-            yield pa.RecordBatch.from_arrays(
-                [batch.column("vec_id"), sig_arr], ["vec_id", "sig"]
-            )
+            if keep_embedding:
+                yield pa.RecordBatch.from_arrays(
+                    [batch.column("vec_id"), batch.column("label"), col, sig_arr],
+                    ["vec_id", "label", "embedding", "sig"],
+                )
+            else:
+                yield pa.RecordBatch.from_arrays(
+                    [batch.column("vec_id"), sig_arr], ["vec_id", "sig"]
+                )
 
     return batches
 
@@ -1033,6 +1041,18 @@ def embedding_neardup_pairs(spark, sf_dir):
             F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
         )
     )
+    return _cosine_pair_verify(spark, e, pairs)
+
+
+def _cosine_pair_verify(spark, e, pairs):
+    """Exact near-dup verify for candidate (vec_a, vec_b) rows: look
+    both vectors up in a broadcast float table (dim x 4 B per vector —
+    broadcast-class; the embeddings table is the SMALL side of this
+    design at any corpus scale where all-pairs banding is viable) and
+    reproduce the JVM fold arithmetic bit-for-bit: dimension-major
+    accumulation == the sequential ``aggregate(zip_with(...))`` fold,
+    ``>= NEARDUP_MIN_COSINE`` on the raw double, floor-rounded output
+    only."""
     vec_rows = e.collect()
     table = {
         r["vec_id"]: r["embedding"]
@@ -1617,12 +1637,25 @@ def embedding_neardup_pairs_wide(spark, sf_dir):
     candidates are pairs sharing either half (covers any single
     signature-bit flip), exact cosine >= ``NEARDUP_MIN_COSINE`` keeps
     real near-dups.  Same single-shuffle (band, value) join shape as
-    the Hamming-band operators."""
-    from .similarity import WIDE_HYPERPLANES, _sig_expr_spark
+    the Hamming-band operators.
 
-    e = _with_planted(read(spark, sf_dir, "embeddings"))
-    sig = e.withColumn(
-        "sig", F.expr(_sig_expr_spark("embedding", WIDE_HYPERPLANES))
+    r07: same Arrow shape as the narrow variant — signature kernel,
+    id-only band join, exact-fold cosine verify kernel against the
+    broadcast float table (the interpreted 32-plane HOF signature alone
+    was most of the old 8.5 s)."""
+    from .similarity import WIDE_HYPERPLANES
+
+    from ..pipeline.session import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
+    e = spread(
+        spark,
+        _with_planted(read(spark, sf_dir, "embeddings")).select(
+            "vec_id", "embedding"
+        ),
+    )
+    sig = e.mapInArrow(
+        _hyperplane_sig_batches(WIDE_HYPERPLANES), "vec_id bigint, sig bigint"
     )
     bands = [
         F.struct(
@@ -1635,8 +1668,8 @@ def embedding_neardup_pairs_wide(spark, sf_dir):
         for b in range(N_EMB_WIDE_BANDS)
     ]
     banded = sig.select(
-        "vec_id", "embedding", F.explode(F.array(*bands)).alias("bb")
-    ).select("vec_id", "embedding", "bb.band", "bb.value")
+        "vec_id", F.explode(F.array(*bands)).alias("bb")
+    ).select("vec_id", "bb.band", "bb.value")
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -1645,34 +1678,10 @@ def embedding_neardup_pairs_wide(spark, sf_dir):
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            F.col("a.embedding").alias("ea"),
-            F.col("b.embedding").alias("eb"),
         )
         .dropDuplicates(["vec_a", "vec_b"])
     )
-    dot = (
-        "aggregate(zip_with(ea, eb,"
-        " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"
-    )
-    norm = (
-        "sqrt(aggregate(transform({col}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
-        " 0D, (acc, v) -> acc + v))"
-    )
-    # threshold on the RAW cosine (identical IEEE ops, left-to-right
-    # folds in both engines); floor-based rounding is output-only
-    # (round() is engine-divergent on doubles — text.py::_r)
-    return (
-        cand.withColumn(
-            "cosine_raw",
-            F.expr(dot)
-            / (F.expr(norm.format(col="ea")) * F.expr(norm.format(col="eb"))),
-        )
-        .filter(F.col("cosine_raw") >= NEARDUP_MIN_COSINE)
-        .withColumn(
-            "cosine", F.floor(F.col("cosine_raw") * 10000 + 0.5) / 10000
-        )
-        .select("vec_a", "vec_b", "cosine")
-    )
+    return _cosine_pair_verify(spark, e, cand)
 
 
 def _neardup_wide_sql() -> str:

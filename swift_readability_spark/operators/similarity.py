@@ -690,6 +690,25 @@ def _sig_expr_duck(vec: str, planes=None) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+def _hyperplane_sig_df(spark, sf_dir, planes):
+    """(vec_id, label, embedding, sig) via the Arrow signature kernel
+    (dedup._hyperplane_sig_batches with embedding pass-through) over a
+    spread scan — bit-identical signatures to ``_sig_expr_spark``."""
+    from ..pipeline.session import ensure_package_on_workers
+    from .common import spread
+    from .dedup import _hyperplane_sig_batches
+
+    ensure_package_on_workers(spark)
+    e = spread(
+        spark,
+        read(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding"),
+    )
+    return e.mapInArrow(
+        _hyperplane_sig_batches(planes, keep_embedding=True),
+        "vec_id bigint, label int, embedding array<float>, sig bigint",
+    )
+
+
 def ann_hyperplane_topk(spark, sf_dir):
     """Label-free ANN blocking: random-hyperplane LSH (vector SimHash).
     The corpus is bucketed by an 8-bit signature; the query scans only
@@ -698,9 +717,9 @@ def ann_hyperplane_topk(spark, sf_dir):
     that works when no IVF centroids / labels exist; at 10^9 vectors
     widen the signature (e.g. 16-24 bits) so each bucket stays small.
     Exactness note: candidates are pruned, never approximated — every
-    returned cosine is the true value."""
-    e = read(spark, sf_dir, "embeddings")
-    sig = e.withColumn("sig", F.expr(_sig_expr_spark("embedding")))
+    returned cosine is the true value.  r07: the signature is the Arrow
+    kernel (bit-exact fold parity), not the interpreted HOF chain."""
+    sig = _hyperplane_sig_df(spark, sf_dir, HYPERPLANES)
     q = sig.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("embedding").alias("qvec"), F.col("sig").alias("qsig")
     )
@@ -774,11 +793,9 @@ def ann_hyperplane_wide_topk(spark, sf_dir):
     candidates share >= 1 band with the query — evaluated as a
     map-side filter against the broadcast query signature (no join, no
     shuffle, one corpus scan + TakeOrdered).  Candidates are pruned,
-    never approximated: every returned cosine is exact."""
-    e = read(spark, sf_dir, "embeddings")
-    sig = e.withColumn(
-        "sig", F.expr(_sig_expr_spark("embedding", WIDE_HYPERPLANES))
-    )
+    never approximated: every returned cosine is exact.  r07: kernel
+    signature (see ann_hyperplane_topk)."""
+    sig = _hyperplane_sig_df(spark, sf_dir, WIDE_HYPERPLANES)
     q = sig.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("embedding").alias("qvec"), F.col("sig").alias("qsig")
     )
