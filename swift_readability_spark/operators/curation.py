@@ -486,25 +486,24 @@ def knn_join(spark, sf_dir):
     """k-NN join: exact cosine top-k corpus neighbours for EVERY vector
     in a query set (the batched generalization of ann_bruteforce_topk).
 
-    Scale shape: the query side broadcasts (a query batch is always
-    small relative to the corpus), so the corpus is scanned once with
-    no shuffle of the big side; the per-query top-k is a window over
-    q_id.  For query sets too big to broadcast, block both sides with
-    the hyperplane signature (similarity.py) first — same downstream
-    plan."""
+    Scale shape: the query side is collected (a query batch is always
+    broadcast-class relative to the corpus), so the corpus is scanned
+    once with no shuffle of the big side; the per-query top-k is a
+    window over q_id.  For query sets too big to broadcast, block both
+    sides with the hyperplane signature (similarity.py) first — same
+    downstream plan.  r07: the per-(row, query) cosine runs in the
+    shared Arrow kernel (exact fold parity) instead of an interpreted
+    HOF chain over the crossJoin."""
+    from .similarity import _query_vecs, _scored_against_queries
+
     e = read(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") < KNN_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qvec")
-    )
-    cos = F.expr(_DOT.format(a="embedding", b="qvec")) / (
-        F.expr(_NORM.format(v="embedding")) * F.expr(_NORM.format(v="qvec"))
+    q_rows = _query_vecs(e, F.col("vec_id") < KNN_QUERIES)
+    scored = _scored_against_queries(
+        spark, e, q_rows, F.col("vec_id") >= KNN_QUERIES
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine_raw"), F.asc("vec_id"))
     return (
-        e.crossJoin(F.broadcast(q))
-        .filter(F.col("vec_id") >= KNN_QUERIES)
-        .withColumn("cosine_raw", cos)
-        .withColumn("rnk", F.row_number().over(w))
+        scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= KNN_K)
         .select(
             "q_id",

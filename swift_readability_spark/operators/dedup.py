@@ -1991,8 +1991,9 @@ def dedup_incremental(spark, sf_dir):
     """New-batch dedup against the committed corpus: per new document,
     whether its normalized content already exists in the committed set
     (left-semi on content hash -> flag) and its canonical doc within
-    the batch."""
-    d = read(spark, sf_dir, "documents")
+    the batch.  r07: spread the single-split scan so the normalize+md5
+    projection parallelizes (guide §2.5, the dedup_exact fix)."""
+    d = spread(spark, read(spark, sf_dir, "documents").select("doc_id", "text"))
     norm = F.md5(F.lower(F.trim(F.regexp_replace("text", "[ \t\n\x0b\f\r]+", " "))))
     hashed = d.select("doc_id", norm.alias("content_hash"))
     committed = (

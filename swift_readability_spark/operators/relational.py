@@ -19,6 +19,7 @@ from .common import (
     read,
     spark_sum64,
     spark_sum128,
+    spread,
 )
 
 # Exact scaled-integer readings of the 2-dp money/value columns
@@ -517,8 +518,10 @@ FROM orders
 
 def event_props_extract(spark, sf_dir):
     """JSON scalar extraction from the props column (map/json function
-    class): pull the 'k' counter out of the JSON payload."""
-    e = read(spark, sf_dir, "events")
+    class): pull the 'k' counter out of the JSON payload.  r07: spread
+    the single-split events scan so the per-row JSON parse uses the
+    cluster, not one task (guide §2.5)."""
+    e = spread(spark, read(spark, sf_dir, "events").select("event_id", "props"))
     return e.select(
         "event_id",
         F.get_json_object("props", "$.k").cast("bigint").alias("k"),
@@ -651,12 +654,15 @@ JOIN customer ON o_custkey = c_custkey
 
 def arrays_setops_demo(spark, sf_dir):
     """Array set operations (§2.6 demos: array_except/intersect/union)
-    over per-document token arrays vs a fixed stopword list."""
-    d = read(spark, sf_dir, "documents")
+    over per-document token arrays vs a fixed stopword list.  r07:
+    ``regexp_extract_all('[^ ]+')`` replaces ``filter(split(...))`` —
+    identical arrays (maximal non-space runs), but the filter() HOF ran
+    interpreted per element; plus the spread-scan fix (guide §2.5)."""
+    d = spread(spark, read(spark, sf_dir, "documents").select("doc_id", "text"))
     stop = "array('the','a','and','of','to','in')"
     toks = (
-        "array_distinct(filter(split(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ')),"
-        " ' +'), x -> x <> ''))"
+        "array_distinct(regexp_extract_all(lower(regexp_replace(text,"
+        " '[^a-zA-Z0-9 ]', ' ')), '[^ ]+', 0))"
     )
     return d.selectExpr(
         "doc_id",

@@ -26,21 +26,123 @@ QUERY_VEC_ID = 0
 TOP_K = 10
 
 
-def ann_bruteforce_topk(spark, sf_dir):
-    """Exact cosine top-10 neighbours of vec_id=0 (broadcast the query
-    vector; single scan + TakeOrdered — no shuffle of the corpus)."""
-    e = read(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
-        F.col("embedding").alias("qvec")
+def _query_cosine_batches(q_rows):
+    """mapInArrow factory: per corpus vector, the exact cosine against
+    each collected (q_id, qvec) — dimension-major numpy accumulation ==
+    the sequential ``aggregate(zip_with(...))`` fold bit-for-bit (the
+    interpreted HOF chain this replaces).  Emits one output row per
+    (input row, query); ragged/null rows fall back to scalar folds."""
+
+    def batches(it):
+        import math
+
+        import numpy as np
+        import pyarrow as pa
+
+        qs = []
+        for qid, v in q_rows:
+            qv = np.asarray(v, dtype=np.float64)
+            acc = 0.0
+            for x in qv:
+                acc = acc + x * x
+            qs.append((qid, qv, math.sqrt(acc)))
+        dim = len(qs[0][1]) if qs else 0
+        for batch in it:
+            col = batch.column("embedding")
+            n = len(col)
+            if n == 0:
+                continue
+            vec_ids = batch.column("vec_id")
+            labels = batch.column("label")
+            lens = np.diff(col.offsets.to_numpy(zero_copy_only=False))
+            if col.null_count == 0 and (lens == dim).all():
+                X = (
+                    col.flatten()
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.float64)
+                    .reshape(n, dim)
+                )
+                acc = np.zeros(n)
+                for i in range(dim):
+                    acc = acc + X[:, i] * X[:, i]
+                enorm = np.sqrt(acc)
+                for qid, qv, qn in qs:
+                    dot = np.zeros(n)
+                    for i in range(dim):
+                        dot = dot + X[:, i] * qv[i]
+                    cos = dot / (enorm * qn)
+                    yield pa.RecordBatch.from_arrays(
+                        [
+                            pa.array([qid] * n, type=pa.int64()),
+                            vec_ids,
+                            labels,
+                            pa.array(cos, type=pa.float64()),
+                        ],
+                        ["q_id", "vec_id", "label", "cosine_raw"],
+                    )
+            else:
+                rows = col.to_pylist()
+                for qid, qv, qn in qs:
+                    out = []
+                    for row in rows:
+                        if row is None:
+                            out.append(None)
+                            continue
+                        acc = 0.0
+                        d = 0.0
+                        for x, y in zip(row, qv):
+                            xf = float(x)
+                            acc = acc + xf * xf
+                            d = d + xf * y
+                        out.append(d / (math.sqrt(acc) * qn))
+                    yield pa.RecordBatch.from_arrays(
+                        [
+                            pa.array([qid] * n, type=pa.int64()),
+                            vec_ids,
+                            labels,
+                            pa.array(out, type=pa.float64()),
+                        ],
+                        ["q_id", "vec_id", "label", "cosine_raw"],
+                    )
+
+    return batches
+
+
+def _query_vecs(e, pred) -> list:
+    """Collected (vec_id, doubles) query rows (broadcast-class — the
+    same rows every prior plan collected inside ``F.broadcast(q)``)."""
+    return [
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in e.filter(pred).select("vec_id", "embedding").collect()
+    ]
+
+
+def _scored_against_queries(spark, e, q_rows, corpus_pred):
+    from ..pipeline.session import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
+    return (
+        e.filter(corpus_pred)
+        .select("vec_id", "label", "embedding")
+        .mapInArrow(
+            _query_cosine_batches(q_rows),
+            "q_id bigint, vec_id bigint, label int, cosine_raw double",
+        )
     )
-    cos = F.expr(_DOT.format(a="embedding", b="qvec")) / (
-        F.expr(_NORM.format(v="embedding")) * F.expr(_NORM.format(v="qvec"))
+
+
+def ann_bruteforce_topk(spark, sf_dir):
+    """Exact cosine top-10 neighbours of vec_id=0 (single scan +
+    TakeOrdered — no shuffle of the corpus).  r07: the per-row cosine
+    is the Arrow kernel's exact fold instead of an interpreted HOF
+    chain; ordering/limit/rounding stay in the JVM plan."""
+    e = read(spark, sf_dir, "embeddings")
+    q_rows = _query_vecs(e, F.col("vec_id") == QUERY_VEC_ID)
+    scored = _scored_against_queries(
+        spark, e, q_rows, F.col("vec_id") != QUERY_VEC_ID
     )
     return (
-        e.crossJoin(F.broadcast(q))
-        .filter(F.col("vec_id") != QUERY_VEC_ID)
-        .withColumn("cosine_raw", cos)
-        .orderBy(F.desc("cosine_raw"), F.asc("vec_id"))
+        scored.orderBy(F.desc("cosine_raw"), F.asc("vec_id"))
         .limit(TOP_K)
         .select(
             "vec_id",
