@@ -20,6 +20,7 @@ from .common import (
     spark_sum64,
     spark_sum128,
     spread,
+    spread_by,
 )
 
 # Exact scaled-integer readings of the 2-dp money/value columns
@@ -207,8 +208,12 @@ GROUP BY r_name, n_name
 
 def top3_orders_per_customer(spark, sf_dir):
     """The canonical top-k window (SURVEY §2.4: nbTopCandidates
-    selection re-expressed as row_number over a partition)."""
-    o = read(spark, sf_dir, "orders")
+    selection re-expressed as row_number over a partition).  r07: the
+    scan is pre-partitioned on o_custkey when it carries fewer splits
+    than the cluster (common.spread_by) — the window reuses the
+    exchange, so the top-k sort parallelizes instead of running on the
+    2 row-group-bound scan tasks."""
+    o = spread_by(spark, read(spark, sf_dir, "orders"), "o_custkey")
     w = Window.partitionBy("o_custkey").orderBy(
         F.desc("o_totalprice"), F.asc("o_orderkey")
     )
