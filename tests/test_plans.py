@@ -106,10 +106,15 @@ def test_simhash_bands_guard_before_collect(spark, reg):
     assert "Exchange" not in plan[i_collect:i_window]
 
 
-def test_ann_bruteforce_broadcasts_query_vector(spark, reg):
+def test_ann_bruteforce_kernel_scores_single_scan(spark, reg):
+    """r07 shape: the per-row cosine is the Arrow kernel over one
+    corpus scan (query vector collected, not crossJoined), then a
+    driver-side TakeOrdered — no join, no shuffle of the corpus."""
     plan = _plan(reg["ann_bruteforce_topk"](spark, SF))
-    assert "BroadcastNestedLoopJoin" in plan
+    assert "MapInArrow" in plan
     assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan
+    assert "Exchange" not in plan
 
 
 def test_extraction_has_exactly_one_exchange(spark, corpus_dir):
@@ -189,11 +194,14 @@ def test_corpus_report_partial_agg(spark, reg):
     assert "partial" in plan.lower()  # map-side combine before the shuffle
 
 
-def test_knn_join_broadcasts_query_batch(spark, reg):
-    """The corpus side must never shuffle: query batch broadcasts,
-    per-query top-k runs on the scan output."""
+def test_knn_join_scores_in_kernel_single_corpus_scan(spark, reg):
+    """The corpus side must never shuffle on a join key: the query
+    batch is collected into the scoring kernel (r07), and the only
+    exchange is the per-query top-k window partitioning."""
     plan = _plan(reg["knn_join"](spark, SF))
-    assert "BroadcastNestedLoopJoin" in plan
+    assert "MapInArrow" in plan
+    assert "Join" not in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
 
 
 def test_stratified_sample_broadcasts_counts_prefilter(spark, reg):
