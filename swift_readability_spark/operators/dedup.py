@@ -400,7 +400,15 @@ def _pair_hash_prefilter(spark, pairs, hs_map: dict, keep):
     table and keep rows passing ``keep(c, na, nb)`` — a conservative
     (collision-slack) form of the exact string-set condition, so the
     tiny survivor set can be string-verified without ever shuffling
-    per-pair arrays (guide §8: decisions ride keys)."""
+    per-pair arrays (guide §8: decisions ride keys).
+
+    The verdict is MEMOIZED per pair within each task: candidate
+    streams arrive pre-``distinct`` (so the dedup shuffle only carries
+    survivors), and near-identical mega-docs can emit the same pair
+    once per shared prefix shingle — tens of thousands of duplicates
+    whose intersects are O(shingles) each (the skew soak caught exactly
+    this: 10 co-identical 50k-shingle docs spun one task for 20+
+    minutes before the memo)."""
     from ..pipeline.session import ensure_package_on_workers
 
     ensure_package_on_workers(spark)
@@ -414,6 +422,7 @@ def _pair_hash_prefilter(spark, pairs, hs_map: dict, keep):
 
         table = bc.value
         cache: dict = {}
+        pair_memo: dict = {}
 
         def arr(doc):
             got = cache.get(doc)
@@ -427,9 +436,13 @@ def _pair_hash_prefilter(spark, pairs, hs_map: dict, keep):
             dbs = batch.column("doc_b").to_pylist()
             mask = np.zeros(len(das), dtype=bool)
             for i, (da, db) in enumerate(zip(das, dbs)):
-                ha, hb = arr(da), arr(db)
-                c = np.intersect1d(ha, hb, assume_unique=True).size
-                mask[i] = keep(c, ha.size, hb.size)
+                verdict = pair_memo.get((da, db))
+                if verdict is None:
+                    ha, hb = arr(da), arr(db)
+                    c = np.intersect1d(ha, hb, assume_unique=True).size
+                    verdict = keep(c, ha.size, hb.size)
+                    pair_memo[(da, db)] = verdict
+                mask[i] = verdict
             yield batch.filter(pa.array(mask))
 
     return pairs.mapInArrow(batches, schema)
