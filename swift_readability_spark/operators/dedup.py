@@ -13,6 +13,7 @@ uniformly distributed by construction.
 
 from __future__ import annotations
 
+import numpy as _np
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -394,7 +395,7 @@ def _shingle_h60_batches(it):
         )
 
 
-def _pair_hash_prefilter(spark, pairs, hs_map: dict, keep):
+def _pair_hash_prefilter(spark, pairs, hs_map, keep):
     """Arrow prefilter over candidate (doc_a, doc_b) rows: intersect the
     two docs' sorted 64-bit shingle-hash sets from a broadcast side
     table and keep rows passing ``keep(c, na, nb)`` — a conservative
@@ -402,13 +403,26 @@ def _pair_hash_prefilter(spark, pairs, hs_map: dict, keep):
     tiny survivor set can be string-verified without ever shuffling
     per-pair arrays (guide §8: decisions ride keys).
 
-    The verdict is MEMOIZED per pair within each task: candidate
+    ``keep`` must be numpy-elementwise and MONOTONE NONDECREASING in
+    ``c`` (both rules are linear in c): pairs for which ``keep(0, na,
+    nb)`` already holds skip the intersect entirely, and the rest are
+    counted in ONE vectorized sort/bincount sweep per batch — no
+    per-pair Python loop (the intersect1d-per-pair form paid ~2 us of
+    numpy fixed cost per candidate: ~10.7M candidates at 10x-sf0.1
+    made the prefilter the whale of containment_pairs).  The sweep
+    sorts a SINGLE int64 composite key (pair_index << 32 | high 32
+    bits of the hash): truncating to 32 bits stays conservative —
+    collisions (in-doc or cross-doc) can only INFLATE the count, and
+    an inflated c can only KEEP more pairs for the exact string verify
+    downstream, never drop one that qualifies — while halving the sort
+    bandwidth of the ~130-element-per-pair intersect mass.
+
+    The verdict stays MEMOIZED per pair within each task: candidate
     streams arrive pre-``distinct`` (so the dedup shuffle only carries
     survivors), and near-identical mega-docs can emit the same pair
     once per shared prefix shingle — tens of thousands of duplicates
-    whose intersects are O(shingles) each (the skew soak caught exactly
-    this: 10 co-identical 50k-shingle docs spun one task for 20+
-    minutes before the memo)."""
+    each (the skew soak caught exactly this class: 10 co-identical
+    50k-shingle docs spun one task for 20+ minutes before the memo)."""
     from ..pipeline.session import ensure_package_on_workers
 
     ensure_package_on_workers(spark)
@@ -420,43 +434,133 @@ def _pair_hash_prefilter(spark, pairs, hs_map: dict, keep):
         import numpy as np
         import pyarrow as pa
 
-        table = bc.value
-        cache: dict = {}
+        ids_arr, offs, flat = bc.value
+        sizes = offs[1:] - offs[:-1]
+        m_ids = len(ids_arr)
+        int_ids = ids_arr.dtype.kind in "iu"
+        # high 32 bits, per-doc sortedness preserved (monotone map)
+        flat32 = flat >> np.uint64(32)
         pair_memo: dict = {}
 
-        def arr(doc):
-            got = cache.get(doc)
-            if got is None:
-                got = np.frombuffer(table[doc], dtype=np.uint64)
-                cache[doc] = got
-            return got
+        def col_to_np(col):
+            if int_ids:
+                return col.to_numpy(zero_copy_only=False)
+            return np.asarray(col.to_pylist(), dtype=ids_arr.dtype)
+
+        def idx_of(vals):
+            if m_ids == 0:
+                raise KeyError("candidate doc_id missing from hash map")
+            ix = np.searchsorted(ids_arr, vals)
+            bad = (ix >= m_ids) | (ids_arr[np.minimum(ix, m_ids - 1)] != vals)
+            if bad.any():
+                raise KeyError("candidate doc_id missing from hash map")
+            return ix
+
+        def gather_keys(idx):
+            """(pair_index << 32 | h32) composite keys for the docs at
+            ``idx`` — one sorted-once int64 stream per side."""
+            lens = sizes[idx]
+            total = int(lens.sum())
+            rep = np.repeat(
+                np.arange(len(idx), dtype=np.uint64) << np.uint64(32), lens
+            )
+            if total == 0:
+                return rep
+            base = np.repeat(offs[idx] - (np.cumsum(lens) - lens), lens)
+            pos = np.arange(total, dtype=np.int64) + base
+            return rep | flat32[pos]
 
         for batch in it:
-            das = batch.column("doc_a").to_pylist()
-            dbs = batch.column("doc_b").to_pylist()
-            mask = np.zeros(len(das), dtype=bool)
-            for i, (da, db) in enumerate(zip(das, dbs)):
-                verdict = pair_memo.get((da, db))
-                if verdict is None:
-                    ha, hb = arr(da), arr(db)
-                    c = np.intersect1d(ha, hb, assume_unique=True).size
-                    verdict = keep(c, ha.size, hb.size)
-                    pair_memo[(da, db)] = verdict
-                mask[i] = verdict
-            yield batch.filter(pa.array(mask))
+            if batch.num_rows == 0:
+                yield batch
+                continue
+            ia = idx_of(col_to_np(batch.column("doc_a")))
+            ib = idx_of(col_to_np(batch.column("doc_b")))
+            pk = ia * m_ids + ib
+            uniq, inv = np.unique(pk, return_inverse=True)
+            verdicts = np.empty(len(uniq), dtype=bool)
+            unknown = []
+            for j, key in enumerate(uniq.tolist()):
+                v = pair_memo.get(key)
+                if v is None:
+                    unknown.append(j)
+                else:
+                    verdicts[j] = v
+            if unknown:
+                up = np.asarray(unknown, dtype=np.int64)
+                ua, ub = uniq[up] // m_ids, uniq[up] % m_ids
+                na, nb = sizes[ua], sizes[ub]
+                cvec = np.zeros(len(up), dtype=np.int64)
+                need = ~keep(cvec, na, nb)  # monotone: keep(0,..) => keep
+                if need.any():
+                    ka, kb = ua[need], ub[need]
+                    # chunk by gathered-element budget: a batch full of
+                    # distinct mega-doc pairs must not materialize an
+                    # unbounded (pairs x shingles) buffer
+                    mass = np.cumsum(sizes[ka] + sizes[kb])
+                    counts = np.empty(len(ka), dtype=np.int64)
+                    lo = 0
+                    while lo < len(ka):
+                        hi = int(
+                            np.searchsorted(
+                                mass, mass[lo] + 8_000_000, side="left"
+                            )
+                        )
+                        hi = max(hi, lo + 1)
+                        keys = np.concatenate(
+                            [
+                                gather_keys(ka[lo:hi]),
+                                gather_keys(kb[lo:hi]),
+                            ]
+                        )
+                        keys.sort()
+                        dup = keys[1:] == keys[:-1]
+                        counts[lo:hi] = np.bincount(
+                            (keys[1:][dup] >> np.uint64(32)).astype(
+                                np.int64
+                            ),
+                            minlength=hi - lo,
+                        )
+                        lo = hi
+                    cvec[need] = counts
+                kv = keep(cvec, na, nb)
+                verdicts[up] = kv
+                for key, v in zip(uniq[up].tolist(), kv.tolist()):
+                    pair_memo[key] = v
+            yield batch.filter(pa.array(verdicts[inv]))
 
     return pairs.mapInArrow(batches, schema)
 
 
-def _shingle_hash_map(spark, d) -> dict:
-    """doc_id -> packed sorted 64-bit shingle-hash set, via one corpus
-    pass (collect is ~8 B x shingles/doc x docs — broadcast-class to
-    ~1e7 docs; band the candidate join past that)."""
+def _shingle_hash_map(spark, d):
+    """(sorted doc_id vector, offsets, flat value vector) — every doc's
+    sorted distinct 64-bit shingle-hash set, collected once and packed
+    COLUMNAR for the broadcast: numpy buffers pickle as raw bytes, so
+    the per-worker unpickle is C-speed instead of rebuilding a
+    corpus-sized dict, and lookups are searchsorted.  ~8 B x
+    shingles/doc x docs — broadcast-class to ~1e7 docs; band the
+    candidate join past that."""
+    import numpy as np
+
     id_t = dict(d.dtypes)["doc_id"]
-    rows = d.mapInArrow(
+    tbl = d.mapInArrow(
         _shingle_hash_batches, f"doc_id {id_t}, hs binary"
-    ).collect()
-    return {r["doc_id"]: r["hs"] for r in rows if r["hs"] is not None}
+    ).toArrow()
+    packed = sorted(
+        (i, b)
+        for i, b in zip(
+            tbl.column("doc_id").to_pylist(), tbl.column("hs").to_pylist()
+        )
+        if b is not None
+    )
+    ids_arr = np.array([i for i, _ in packed])
+    lens = np.fromiter(
+        (len(b) // 8 for _, b in packed), dtype=np.int64, count=len(packed)
+    )
+    offs = np.zeros(len(packed) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    flat = np.frombuffer(b"".join(b for _, b in packed), dtype=np.uint64)
+    return ids_arr, offs, flat
 
 
 def _shingle_batches(it):
@@ -1768,36 +1872,22 @@ CONTAINMENT_MIN = 0.5
 # boilerplate is exact-dedup's / paragraph_dedup's job, not
 # containment's — the same division of labor as MAX_LSH_BUCKET.
 CONTAINMENT_MAX_DF = 1000
+# survivor-pair collect bound for the verify stage (same class as
+# CC_SMALL_GRAPH_MAX_EDGES: the prefiltered pair set is output-sized
+# and orders of magnitude smaller than the corpus; a limit probe keeps
+# the oversize case off the driver and falls back to the full-corpus
+# broadcast-join verify)
+CONTAINMENT_VERIFY_COLLECT_MAX = 2_000_000
 
 
-def containment_pairs(spark, sf_dir):
-    """(doc_a, doc_b, containment_a, containment_b) for every pair
-    with max-directional shingle containment >= ``CONTAINMENT_MIN``
-    (subject to the ``CONTAINMENT_MAX_DF`` prefix cap) — catches
-    subset-duplication that symmetric Jaccard under-scores.
-
-    Plan (r07 Arrow shape): the exploded (doc_id, n, sh_h) table comes
-    from ONE mapInArrow kernel (C-regex shingles + C md5 — the JVM
-    explode + interpreted md5/conv chain measured 17 s per subtree at
-    50k docs, and the plan re-ran it for the df table, the prefix side
-    AND the full side), then df groupBy (map-side partial, 60-bit hash
-    keys), the per-doc row_number window in the global (df, hash)
-    order, the prefix-vs-full equi-join on the shingle hash (prefix
-    side rare-only by construction).  RAW candidate pairs (5.7M
-    distinct at 50k docs) go through the broadcast 64-bit shingle-hash
-    prefilter BEFORE the dedup shuffle — 2*c + 6 >= min(na, nb) is the
-    exact condition with a 2-collision slack — and only the tiny
-    survivor set re-attaches shingle strings for the exact
-    array_intersect verify."""
-    from ..pipeline.session import ensure_package_on_workers
-
-    ensure_package_on_workers(spark)
-    d, id_t = _spread_docs(spark, sf_dir)
+def _containment_candidates(spark, d, id_t):
+    """The distinct, prefilter-surviving candidate pair set of the
+    containment join (the phase before the exact string verify) — its
+    own function so the candidate plan shape (sh_h join keys, df cap
+    before the join) stays pin-able after the verify phase collects
+    this set eagerly."""
     ex = d.mapInArrow(
         _shingle_h60_batches, f"doc_id {id_t}, n int, sh_h bigint"
-    )
-    sets = d.mapInArrow(
-        _shingle_batches, f"doc_id {id_t}, shingles array<string>"
     )
     df_tbl = ex.groupBy("sh_h").agg(F.count("*").alias("df"))
     ranked = ex.join(df_tbl, "sh_h")
@@ -1816,16 +1906,65 @@ def containment_pairs(spark, sf_dir):
             F.greatest("doc_p", "doc_f").alias("doc_b"),
         )
     )
-    cand = _pair_hash_prefilter(
+    return _pair_hash_prefilter(
         spark,
         cand_raw,
         _shingle_hash_map(spark, d),
-        lambda c, na, nb: 2 * c + 6 >= min(na, nb),
+        lambda c, na, nb: 2 * c + 6 >= _np.minimum(na, nb),
     ).distinct()
+
+
+def containment_pairs(spark, sf_dir):
+    """(doc_a, doc_b, containment_a, containment_b) for every pair
+    with max-directional shingle containment >= ``CONTAINMENT_MIN``
+    (subject to the ``CONTAINMENT_MAX_DF`` prefix cap) — catches
+    subset-duplication that symmetric Jaccard under-scores.
+
+    Plan (r07 Arrow shape): the exploded (doc_id, n, sh_h) table comes
+    from ONE mapInArrow kernel (C-regex shingles + C md5 — the JVM
+    explode + interpreted md5/conv chain measured 17 s per subtree at
+    50k docs; the kernel still runs once per consumer — measured, a
+    pinned repartition only adds shuffles because exchange reuse never
+    fires across mapInArrow subtrees, while AQE broadcasts the df
+    table so the probe side needs no shuffle at all), then df groupBy
+    (map-side partial, 60-bit hash keys), the per-doc row_number
+    window in the global (df, hash) order, the prefix-vs-full
+    equi-join on the shingle hash (prefix side rare-only by
+    construction).  RAW candidate pairs (5.7M distinct at 50k docs) go
+    through the broadcast 64-bit shingle-hash prefilter BEFORE the
+    dedup shuffle — 2*c + 6 >= min(na, nb) is the exact condition with
+    a 2-collision slack — and the survivor set (output-sized; bounded
+    by a limit probe like the dedup_clusters edge collect) is
+    collected so the exact array_intersect verify tokenizes ONLY
+    survivor docs instead of the whole corpus twice; past
+    ``CONTAINMENT_VERIFY_COLLECT_MAX`` pairs the verify falls back to
+    the full-corpus broadcast-join form."""
+    from ..pipeline.session import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
+    d, id_t = _spread_docs(spark, sf_dir)
+    cand = _containment_candidates(spark, d, id_t)
+    probe = cand.limit(CONTAINMENT_VERIFY_COLLECT_MAX + 1).collect()
+    if len(probe) <= CONTAINMENT_VERIFY_COLLECT_MAX:
+        # survivor path: verify-side kernels tokenize only the docs that
+        # appear in a surviving pair (the survivor set is the same
+        # broadcast-class table F.broadcast(cand) already shipped)
+        cand_use = spark.createDataFrame(
+            [(r["doc_a"], r["doc_b"]) for r in probe],
+            f"doc_a {id_t}, doc_b {id_t}",
+        )
+        ids = sorted({r["doc_a"] for r in probe} | {r["doc_b"] for r in probe})
+        ids_df = spark.createDataFrame([(i,) for i in ids], f"doc_id {id_t}")
+        src = d.join(F.broadcast(ids_df), "doc_id")
+    else:
+        cand_use, src = cand, d
+    sets = src.mapInArrow(
+        _shingle_batches, f"doc_id {id_t}, shingles array<string>"
+    )
     sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sa"))
     sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sb"))
-    with_a = sa.join(F.broadcast(cand), "doc_a")
-    with_b = sb.join(F.broadcast(cand), "doc_b").select("doc_a", "doc_b", "sb")
+    with_a = sa.join(F.broadcast(cand_use), "doc_a")
+    with_b = sb.join(F.broadcast(cand_use), "doc_b").select("doc_a", "doc_b", "sb")
     return (
         with_a.join(F.broadcast(with_b), ["doc_a", "doc_b"])
         .withColumn("common", F.size(F.array_intersect("sa", "sb")))

@@ -589,21 +589,54 @@ QUERIES["pii_scan"] = (pii_scan, PII_SQL)
 TOP_TERMS_K = 100
 
 
+def _word_count_batches(it):
+    """Arrow kernel for ``top_terms``: per-batch word Counter — the
+    Python-side equivalent of the map-side PARTIAL count (exact integer
+    partials, summed by the final aggregation), so only ~vocab-sized
+    rows leave each task instead of one exploded row per token.
+    Tokenization is ``_tokenize_batch`` — bit-parity with
+    ``_SPARK_WORDS`` (ASCII strip first, so lower()/split() only see
+    ASCII); null/empty text contributes nothing, exactly like
+    ``explode`` of an empty array."""
+    from collections import Counter
+
+    import pyarrow as pa
+
+    from .dedup import _tokenize_batch
+
+    for batch in it:
+        texts = batch.column("text").to_pylist()
+        words_per_doc, _c, _b = _tokenize_batch(texts)
+        counts: Counter = Counter()
+        for ws in words_per_doc:
+            if ws:
+                counts.update(ws)
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(list(counts.keys()), type=pa.string()),
+                pa.array(list(counts.values()), type=pa.int64()),
+            ],
+            ["word", "n"],
+        )
+
+
 def top_terms(spark, sf_dir):
-    """Corpus-wide term frequency, top-100: explode words -> count.
-    The shuffle key is the word — Zipf-skewed by nature — but the
-    hash aggregation does map-side partial counting, so each hot word
-    crosses the wire once per task, not once per occurrence (the same
-    reason word-count scales).  TakeOrdered for the top-k, no global
+    """Corpus-wide term frequency, top-100.  The shuffle key is the
+    word — Zipf-skewed by nature — but each hot word crosses the wire
+    once per task, not once per occurrence: the Arrow kernel emits
+    per-task partial counts (r07; the explode + map-side-partial-agg
+    form computed the same partials but paid the JVM tokenizer + a
+    2.7M-row explode per 10x-sf0.1 — 2.5 s vs ~1.2 s).  Final sum is
+    an exact integer aggregation; TakeOrdered for the top-k, no global
     sort."""
+    from ..pipeline.session import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
     d = spread(spark, read(spark, sf_dir, "documents").select("text"))
-    words = d.selectExpr(
-        "explode(regexp_extract_all(lower(regexp_replace(text, '[^a-zA-Z0-9 ]',"
-        " ' ')), '[^ ]+', 0)) AS word"
-    )
+    partial = d.mapInArrow(_word_count_batches, "word string, n bigint")
     return (
-        words.groupBy("word")
-        .agg(F.count("*").alias("n"))
+        partial.groupBy("word")
+        .agg(F.sum("n").alias("n"))
         .orderBy(F.desc("n"), F.asc("word"))
         .limit(TOP_TERMS_K)
     )
@@ -688,6 +721,43 @@ QUERIES["repetition_stats"] = (repetition_stats, REPETITION_SQL)
 TFIDF_TOP_K = 3
 
 
+def _tf_batches(it):
+    """Arrow kernel for ``tfidf_top_terms``: per-document word Counter
+    -> final (doc_id, word, tf) rows.  Each doc is wholly contained in
+    one Arrow row, so the per-doc counts ARE the global tf values (no
+    cross-batch merge needed) — exact integers, identical to
+    ``explode`` + ``groupBy(doc_id, word).count()``.  Tokenization is
+    ``_tokenize_batch`` (bit-parity with ``_SPARK_WORDS``); null/empty
+    text emits nothing, matching explode-of-empty."""
+    from collections import Counter
+
+    import pyarrow as pa
+
+    from .dedup import _tokenize_batch
+
+    for batch in it:
+        texts = batch.column("text").to_pylist()
+        doc_ids = batch.column("doc_id").to_pylist()
+        id_type = batch.schema.field("doc_id").type
+        out_d, out_w, out_c = [], [], []
+        words_per_doc, _c, _b = _tokenize_batch(texts)
+        for did, ws in zip(doc_ids, words_per_doc):
+            if not ws:
+                continue
+            counts = Counter(ws)
+            out_d.extend([did] * len(counts))
+            out_w.extend(counts.keys())
+            out_c.extend(counts.values())
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(out_d, type=id_type),
+                pa.array(out_w, type=pa.string()),
+                pa.array(out_c, type=pa.int64()),
+            ],
+            ["doc_id", "word", "tf"],
+        )
+
+
 def tfidf_top_terms(spark, sf_dir):
     """Top-``TFIDF_TOP_K`` characteristic terms per document by
     TF-IDF.  The score is the RATIONAL form scaled to an integer,
@@ -700,28 +770,28 @@ def tfidf_top_terms(spark, sf_dir):
     tf/df ratios differ by < 1e-6 — ties then break on the word,
     identically in both engines.
 
-    Scale shape: explode -> (doc_id, word) hash groupBy with map-side
-    partial counting; the df table is vocab-sized (<< corpus) so Spark
+    Scale shape: one Arrow tf kernel per consumer (map-side only — the
+    df branch partial-counts per task before its vocab-sized
+    exchange); the df table is vocab-sized (<< corpus) so Spark
     broadcasts it at the join when under threshold, and the Zipf-hot
     word keys are fine because each hot word is ONE row on the df side
     (AQE skew-join splits the tf side if needed).  Final per-doc top-k
     is a window on doc_id — uniformly distributed, no skew."""
+    from ..pipeline.session import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
     d = spread(spark, read(spark, sf_dir, "documents").select("doc_id", "text"))
-    # _R_SPARK_WORDS: the module's one shared word tokenizer alias
-    words = d.selectExpr("doc_id", f"explode({_R_SPARK_WORDS}) AS word")
-    tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
-    # r07: df == count(*) per word over tf, but written as
-    # count(when(tf >= 1, 1)) — tf is a groupBy count so tf >= 1 on
-    # every row and the value is IDENTICAL (oracle-checked).  The
-    # reference to `tf` stops column pruning from rewriting this
-    # branch's (doc_id, word) pre-aggregation into a DISTINCT: both
-    # branches then share one canonical subtree and AQE reuses the
-    # tokenize+explode+tf shuffle stage instead of recomputing it
-    # (interleaved A/B at sf1.0: 6.0 s plain vs 3.8 s, 3 reps each).
-    # Alternatives measured and rejected: window count over
-    # (partition by word) — same local time but concentrates a
-    # stopword's whole posting list in ONE window partition at corpus
-    # scale; localCheckpoint — leaks a cached RDD per invocation.
+    id_t = dict(d.dtypes)["doc_id"]
+    # r07 Arrow kernel: each document lives whole inside one Arrow row,
+    # so a per-doc Counter emits the FINAL (doc_id, word, tf) rows —
+    # exact integers, no explode, no (doc_id, word) aggregation at all
+    # (the explode + groupBy form paid the JVM tokenizer + a
+    # 27M-token explode at 10x-sf0.1: 3.7 s vs 1.6 s).  The df and
+    # scored consumers each re-run the kernel (no cross-subtree CSE
+    # below exchanges, and — measured, r07 — exchange reuse never
+    # fires across mapInArrow subtrees, so a pinned repartition only
+    # adds shuffles): two ~0.5 s kernel passes beat one 4 s explode.
+    tf = d.mapInArrow(_tf_batches, f"doc_id {id_t}, word string, tf bigint")
     df = tf.groupBy("word").agg(F.count(F.when(F.col("tf") >= 1, 1)).alias("df"))
     scored = tf.join(df, "word").withColumn(
         "score_micro", F.expr("tf * 1000000L DIV df")

@@ -247,11 +247,22 @@ def test_wide_neardup_single_band_shuffle(spark, reg):
 def test_containment_prefix_join_is_hash_keyed_and_df_capped(spark, reg):
     """The containment candidate join keys on the 60-bit shingle hash
     (never strings) and the prefix side is df-capped BEFORE the join
-    (hot boilerplate shingles cannot become join keys)."""
-    plan = _plan(reg["containment_pairs"](spark, SF))
+    (hot boilerplate shingles cannot become join keys).  r07: the
+    survivor set is collected for the verify phase, so the candidate
+    plan is pinned via its own builder."""
+    from swift_readability_spark.operators.dedup import (
+        _containment_candidates,
+        _spread_docs,
+    )
+
+    d, id_t = _spread_docs(spark, SF)
+    plan = _plan(_containment_candidates(spark, d, id_t))
     assert "sh_h" in plan
     assert "1000" in plan  # CONTAINMENT_MAX_DF filter present
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the final (verify) plan stays JVM + broadcast-join shaped
+    final = _plan(reg["containment_pairs"](spark, SF))
+    assert "BatchEvalPython" not in final and "ArrowEvalPython" not in final
 
 
 def test_ann_wide_is_scan_plus_takeordered(spark, reg):
