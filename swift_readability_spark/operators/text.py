@@ -380,6 +380,50 @@ QUERIES = {
 }
 
 
+def _token_set_sim_batches(ref_tokens):
+    """mapInArrow factory for ``token_set_similarity``: the old JVM form
+    paid an interpreted ``filter(tokens, t -> NOT array_contains(ref,
+    t))`` — O(tokens x ref) per doc through a CodegenFallback HOF.
+    Here: C tokenization (``_tokenize_batch``, bit-parity with the
+    expression), one Python set probe per token, integer arithmetic
+    identical to the SQL CASE (all operands are non-negative ints, so
+    ``//`` == Spark ``div``).  Tokens are ASCII post-strip, so Python
+    ``len`` == Spark ``length`` on the joined strings.  Null text ->
+    null similarity (the expression's null flow); a null ref token
+    array drops every element in the JVM filter (NULL predicate), so
+    ``ref_tokens=None`` maps to a = 0."""
+
+    def batches(it):
+        import pyarrow as pa
+
+        from .dedup import _tokenize_batch
+
+        refset = set(ref_tokens) if ref_tokens is not None else None
+        for batch in it:
+            texts = batch.column("text").to_pylist()
+            words_per_doc, _c, _b = _tokenize_batch(texts)
+            sims = []
+            for ws in words_per_doc:
+                if ws is None:
+                    sims.append(None)
+                    continue
+                b = len(" ".join(ws))
+                if b == 0:
+                    sims.append(10000)
+                    continue
+                if refset is None:
+                    a = 0
+                else:
+                    a = len(" ".join(t for t in ws if t not in refset))
+                sims.append(((b - a) * 20000 + b) // (2 * b))
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("doc_id"), pa.array(sims, type=pa.int64())],
+                ["doc_id", "similarity_e4"],
+            )
+
+    return batches
+
+
 def token_set_similarity(spark, sf_dir):
     """The reference's textSimilarity (ArticleGrabber.swift:667-703) as
     a columnar set-difference: similarity of every doc against doc 0 =
@@ -389,32 +433,34 @@ def token_set_similarity(spark, sf_dir):
     operands are integer string lengths, so round(1e4*(b-a)/b) =
     ((b-a)*20000 + b) DIV (2b), BIGINT end to end (the corpus_report /
     tfidf recipe; no double ever crosses the driver hash).  b = 0 ⇒
-    similarity 1.0 ⇒ 10000, mirroring the old double branch."""
+    similarity 1.0 ⇒ 10000, mirroring the old double branch.
+
+    r07: Arrow kernel (``_token_set_sim_batches``); the single ref row
+    is collected at build time (the same 1-row table the old plan
+    shipped inside F.broadcast) — 2.4 s -> ~1.2 s at 10x-sf0.1."""
+    from ..pipeline.session import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
     base = read(spark, sf_dir, "documents").select("doc_id", "text")
     toks = F.expr(
         "regexp_extract_all(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ')),"
         " '[^ ]+', 0)"
     )
-    # docs side spread (guide §2.5: single-split scan); the 1-row ref
-    # branch stays on the raw scan so the doc_id=0 predicate pushes to
-    # parquet instead of scanning behind a round-robin exchange
-    docs = spread(spark, base).select("doc_id", toks.alias("tokens"))
-    ref = base.filter(F.col("doc_id") == 0).select(toks.alias("ref_tokens"))
-    joined_len = "length(array_join({arr}, ' '))"
-    uniq = "filter(tokens, t -> NOT array_contains(ref_tokens, t))"
-    b = joined_len.format(arr="tokens")
-    a = joined_len.format(arr=uniq)
-    return (
-        docs.crossJoin(F.broadcast(ref))
-        .withColumn(
-            "similarity_e4",
-            F.expr(
-                f"CASE WHEN {b} = 0 THEN CAST(10000 AS BIGINT)"
-                f" ELSE (CAST(({b}) - ({a}) AS BIGINT) * 20000 + ({b}))"
-                f" div (2 * CAST({b} AS BIGINT)) END"
-            ),
-        )
-        .select("doc_id", "similarity_e4")
+    # the 1-row ref branch stays on the raw scan so the doc_id=0
+    # predicate pushes to parquet instead of scanning behind a
+    # round-robin exchange
+    ref_rows = (
+        base.filter(F.col("doc_id") == 0).select(toks.alias("ref_tokens")).collect()
+    )
+    d = spread(spark, base)
+    if not ref_rows:
+        # crossJoin against an empty ref table yields no rows
+        return d.select(
+            "doc_id", F.lit(None).cast("bigint").alias("similarity_e4")
+        ).limit(0)
+    return d.mapInArrow(
+        _token_set_sim_batches(ref_rows[0]["ref_tokens"]),
+        f"doc_id {dict(d.dtypes)['doc_id']}, similarity_e4 bigint",
     )
 
 
@@ -666,31 +712,74 @@ from .dedup import _DUCK_WORDS as _R_DUCK_WORDS
 from .dedup import _SPARK_WORDS as _R_SPARK_WORDS
 
 
+def _repetition_batches(it):
+    """Arrow kernel for ``repetition_stats``: the JVM form tokenized
+    three ways (words, normalized text, lookahead bigram regex) and
+    paid ``array_distinct`` per row.  Here: ``_tokenize_batch`` (bit-
+    parity with ``_SPARK_WORDS``), sets for the distinct counts, and
+    the SAME IEEE double expression (1.0 - nd/n, *1e4, +0.5, floor,
+    /1e4 — each step a correctly rounded double op in the same order,
+    so results are bit-identical to the SQL).  Word bigrams == the
+    lookahead regex matches over the normalized text (<2 words -> no
+    matches -> size 0 -> 0.0).  Null text -> null outputs (size(NULL)
+    flows null through the CASE)."""
+    from math import floor
+
+    import pyarrow as pa
+
+    from .dedup import _tokenize_batch
+
+    for batch in it:
+        texts = batch.column("text").to_pylist()
+        words_per_doc, _c, _b = _tokenize_batch(texts)
+        n_out, dw_out, db_out = [], [], []
+        for ws in words_per_doc:
+            if ws is None:
+                n_out.append(None)
+                dw_out.append(None)
+                db_out.append(None)
+                continue
+            n = len(ws)
+            n_out.append(n)
+            if n == 0:
+                dw_out.append(0.0)
+            else:
+                dw_out.append(
+                    floor((1.0 - len(set(ws)) / n) * 10000 + 0.5) / 10000
+                )
+            nb = n - 1 if n >= 2 else 0
+            if nb == 0:
+                db_out.append(0.0)
+            else:
+                bigrams = {
+                    ws[i] + " " + ws[i + 1] for i in range(nb)
+                }
+                db_out.append(
+                    floor((1.0 - len(bigrams) / nb) * 10000 + 0.5) / 10000
+                )
+        yield pa.RecordBatch.from_arrays(
+            [
+                batch.column("doc_id"),
+                pa.array(n_out, type=pa.int32()),
+                pa.array(dw_out, type=pa.float64()),
+                pa.array(db_out, type=pa.float64()),
+            ],
+            ["doc_id", "n_words", "dup_word_frac", "dup_bigram_frac"],
+        )
+
+
 def repetition_stats(spark, sf_dir):
     """(doc_id, n_words, dup_word_frac, dup_bigram_frac) — repetition
-    quality signals for filter thresholds."""
-    d = spread(spark, read(spark, sf_dir, "documents").select("doc_id", "text"))
-    # lookahead regex over the normalized text, not a lambda over the
-    # words array: Catalyst can inline a computed column into lambda
-    # bodies (O(n^2) re-tokenization per element — see the dedup.py
-    # collapse-proof note); <2 words naturally yields no matches
-    from .dedup import _SPARK_NORM
+    quality signals for filter thresholds.  r07: Arrow kernel (see
+    ``_repetition_batches``); 2.3 s -> ~1.2 s at 10x-sf0.1."""
+    from ..pipeline.session import ensure_package_on_workers
 
-    bigram = "regexp_extract_all(norm, '(?=([^ ]+ [^ ]+))[^ ]+', 1)"
-    return (
-        d.selectExpr("doc_id", f"{_R_SPARK_WORDS} AS words", f"{_SPARK_NORM} AS norm")
-        .selectExpr("doc_id", "words", f"{bigram} AS bigrams")
-        .selectExpr(
-            "doc_id",
-            "size(words) AS n_words",
-            # floor-based rounding: engine-portable on doubles (see _r)
-            "CASE WHEN size(words) = 0 THEN 0.0D ELSE"
-            " floor((1.0D - size(array_distinct(words)) / size(words)) * 10000 + 0.5) / 10000"
-            " END AS dup_word_frac",
-            "CASE WHEN size(bigrams) = 0 THEN 0.0D ELSE"
-            " floor((1.0D - size(array_distinct(bigrams)) / size(bigrams)) * 10000 + 0.5) / 10000"
-            " END AS dup_bigram_frac",
-        )
+    ensure_package_on_workers(spark)
+    d = spread(spark, read(spark, sf_dir, "documents").select("doc_id", "text"))
+    return d.mapInArrow(
+        _repetition_batches,
+        f"doc_id {dict(d.dtypes)['doc_id']}, n_words int,"
+        " dup_word_frac double, dup_bigram_frac double",
     )
 
 
