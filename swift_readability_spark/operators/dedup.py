@@ -1131,24 +1131,25 @@ def embedding_neardup_pairs(spark, sf_dir):
     r07 shape (guide §4.2/§8): both the signature and the per-pair
     cosine verify ran as interpreted higher-order-function folds — the
     in-bucket pair mass is n^2/256 (1.5M pairs at 20k vectors), so the
-    verify paid ~1.5M interpreted 64-dim folds (32 s).  Now the
-    signature is one Arrow kernel, the bucket join carries only
-    (vec_id, sig), and the verify kernel looks both vectors up in a
-    broadcast float table (dim x 4 B per vector) and reproduces the
-    exact fold arithmetic, threshold and floor-rounding in numpy —
+    verify paid ~1.5M interpreted 64-dim folds (32 s).  Session 3: the
+    embeddings are collected ONCE (the verify already needed the full
+    float table on the driver); signatures come from the same kernel
+    code run driver-side over the collected batches (bit-identical),
+    so the self-join runs over the tiny parallelized (vec_id, sig)
+    table instead of re-running the sig kernel once per join side, and
+    the verify kernel gathers from the packed broadcast matrix —
     32 -> ~2 s, bit-identical membership and values."""
     from .similarity import HYPERPLANES
 
     from ..pipeline.session import ensure_package_on_workers
 
     ensure_package_on_workers(spark)
-    e = spread(
-        spark, _with_planted(read(spark, sf_dir, "embeddings")).select(
-            "vec_id", "embedding"
-        )
+    e = _with_planted(read(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding"
     )
-    sig = e.mapInArrow(
-        _hyperplane_sig_batches(HYPERPLANES), "vec_id bigint, sig bigint"
+    tbl = _collect_embeddings(e)
+    sig = spark.createDataFrame(
+        _driver_sig_rows(tbl, HYPERPLANES), "vec_id bigint, sig bigint"
     )
     a, b = sig.alias("a"), sig.alias("b")
     pairs = (
@@ -1158,38 +1159,99 @@ def embedding_neardup_pairs(spark, sf_dir):
             F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
         )
     )
-    return _cosine_pair_verify(spark, e, pairs)
+    return _cosine_pair_verify(spark, _packed_embeddings(tbl), pairs)
 
 
-def _cosine_pair_verify(spark, e, pairs):
+def _collect_embeddings(e):
+    """ONE job: the (planted) embedding table collected as an Arrow
+    table — shared by the driver-side signature fold and the verify
+    broadcast, so the near-dup operators scan the embeddings exactly
+    once (broadcast-class: dim x 4 B per vector; the embeddings table
+    is the SMALL side of this design at any corpus scale where
+    all-pairs banding is viable)."""
+    return e.toArrow().combine_chunks()
+
+
+def _packed_embeddings(tbl):
+    """(sorted vec_id vector, float64 matrix) from the collected
+    table; null embeddings are excluded (their sig is null, so they
+    can never appear in a candidate pair)."""
+    import numpy as np
+
+    packed = sorted(
+        (i, v)
+        for i, v in zip(
+            tbl.column("vec_id").to_pylist(),
+            tbl.column("embedding").to_pylist(),
+        )
+        if v is not None
+    )
+    ids_arr = np.array([i for i, _ in packed], dtype=np.int64)
+    mat = np.array([v for _, v in packed], dtype=np.float64)
+    return ids_arr, mat
+
+
+def _driver_sig_rows(tbl, planes):
+    """(vec_id, sig) rows computed by running the SAME
+    ``_hyperplane_sig_batches`` kernel code over the collected Arrow
+    batches on the driver — bit-identical signatures by construction.
+    Rationale (r07 session 3): the sig kernel subtree re-ran once per
+    self-join side (exchange reuse never fires across mapInArrow
+    subtrees), and the verify stage already collects this exact table,
+    so one driver fold over ~20k vectors replaces two distributed
+    kernel passes.  Null-sig rows are dropped — a null key joins
+    nothing in an equi-join, so the candidate set is unchanged."""
+    out = []
+    for ob in _hyperplane_sig_batches(planes)(tbl.to_batches()):
+        out.extend(
+            (i, s)
+            for i, s in zip(
+                ob.column("vec_id").to_pylist(), ob.column("sig").to_pylist()
+            )
+            if s is not None
+        )
+    return out
+
+
+def _cosine_pair_verify(spark, packed, pairs):
     """Exact near-dup verify for candidate (vec_a, vec_b) rows: look
-    both vectors up in a broadcast float table (dim x 4 B per vector —
-    broadcast-class; the embeddings table is the SMALL side of this
-    design at any corpus scale where all-pairs banding is viable) and
-    reproduce the JVM fold arithmetic bit-for-bit: dimension-major
-    accumulation == the sequential ``aggregate(zip_with(...))`` fold,
-    ``>= NEARDUP_MIN_COSINE`` on the raw double, floor-rounded output
-    only."""
-    vec_rows = e.collect()
-    table = {
-        r["vec_id"]: r["embedding"]
-        for r in vec_rows
-        if r["embedding"] is not None
-    }
-    bc = spark.sparkContext.broadcast(table)
+    both vectors up in the broadcast float table ``packed`` (from
+    ``_packed_embeddings``) and reproduce the JVM fold arithmetic
+    bit-for-bit: dimension-major accumulation == the sequential
+    ``aggregate(zip_with(...))`` fold, ``>= NEARDUP_MIN_COSINE`` on
+    the raw double, floor-rounded output only.
+
+    r07 session 3: the broadcast is a (sorted id vector, float64
+    matrix) pair — numpy buffers unpickle at C-speed (the per-worker
+    dict rebuild of 20k arrays cost ~0.5 s x workers), and each batch
+    gathers its rows with two fancy-index ops instead of a Python
+    dict-lookup-and-stack loop per pair.  The accumulation lines are
+    UNCHANGED (same expressions, same order -> identical IEEE
+    results)."""
+    bc = spark.sparkContext.broadcast(packed)
 
     def verify(it):
         import numpy as np
         import pyarrow as pa
 
-        tbl = {k: np.asarray(v, dtype=np.float64) for k, v in bc.value.items()}
+        ids_s, M = bc.value
+        n_ids = len(ids_s)
+
+        def idx(col):
+            v = col.to_numpy(zero_copy_only=False)
+            if n_ids == 0:
+                raise KeyError("pair vec_id missing from embedding table")
+            ix = np.searchsorted(ids_s, v)
+            bad = (ix >= n_ids) | (ids_s[np.minimum(ix, n_ids - 1)] != v)
+            if bad.any():
+                raise KeyError("pair vec_id missing from embedding table")
+            return ix
+
         for batch in it:
-            vas = batch.column("vec_a").to_pylist()
-            vbs = batch.column("vec_b").to_pylist()
-            if not vas:
+            if batch.num_rows == 0:
                 continue
-            A = np.stack([tbl[v] for v in vas])
-            B = np.stack([tbl[v] for v in vbs])
+            A = M[idx(batch.column("vec_a"))]
+            B = M[idx(batch.column("vec_b"))]
             n, dim = A.shape
             dot = np.zeros(n)
             na = np.zeros(n)
@@ -1765,14 +1827,12 @@ def embedding_neardup_pairs_wide(spark, sf_dir):
     from ..pipeline.session import ensure_package_on_workers
 
     ensure_package_on_workers(spark)
-    e = spread(
-        spark,
-        _with_planted(read(spark, sf_dir, "embeddings")).select(
-            "vec_id", "embedding"
-        ),
+    e = _with_planted(read(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding"
     )
-    sig = e.mapInArrow(
-        _hyperplane_sig_batches(WIDE_HYPERPLANES), "vec_id bigint, sig bigint"
+    tbl = _collect_embeddings(e)
+    sig = spark.createDataFrame(
+        _driver_sig_rows(tbl, WIDE_HYPERPLANES), "vec_id bigint, sig bigint"
     )
     bands = [
         F.struct(
@@ -1798,7 +1858,7 @@ def embedding_neardup_pairs_wide(spark, sf_dir):
         )
         .dropDuplicates(["vec_a", "vec_b"])
     )
-    return _cosine_pair_verify(spark, e, cand)
+    return _cosine_pair_verify(spark, _packed_embeddings(tbl), cand)
 
 
 def _neardup_wide_sql() -> str:
