@@ -1419,6 +1419,13 @@ def mllib_minhash_pairs(spark, sf_dir):
         .select("doc_id", F.posexplode("hashes").alias("entry", "hv"))
         .select("doc_id", "entry", vector_to_array("hv")[0].alias("h"))
     )
+    # NOTE (r07 session 3, measured): do NOT replace this self-join
+    # with a collected local signature table — the planner-inserted
+    # ENSURE_REQUIREMENTS exchanges of a self-join DO get reused (the
+    # exploded subtree computes once), and local tables additionally
+    # rob the downstream prefilter of its (entry, h) partitioning
+    # (11.3 s vs 5.2 s end to end).  Only user repartition() exchanges
+    # fail to reuse across mapInArrow subtrees.
     a, b = exploded.alias("a"), exploded.alias("b")
     raw_pairs = a.join(
         b,
@@ -1435,10 +1442,35 @@ def mllib_minhash_pairs(spark, sf_dir):
         _shingle_hash_map(spark, d),
         lambda c, na, nb: 3 * c + 6 >= na + nb,
     ).distinct()
-    sa = shingled.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sa"))
-    sb = shingled.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sb"))
-    with_a = sa.join(F.broadcast(pairs), "doc_a")
-    with_b = sb.join(F.broadcast(pairs), "doc_b").select("doc_a", "doc_b", "sb")
+    # survivor-only verify (the containment_pairs pattern): the
+    # prefiltered pair set is output-sized, so collect it (bounded by a
+    # limit probe) and tokenize only surviving docs; past the bound,
+    # fall back to the full-corpus broadcast-join verify
+    probe = pairs.limit(CONTAINMENT_VERIFY_COLLECT_MAX + 1).collect()
+    if len(probe) <= CONTAINMENT_VERIFY_COLLECT_MAX:
+        pairs_use = spark.createDataFrame(
+            [(r["doc_a"], r["doc_b"]) for r in probe],
+            f"doc_a {id_t}, doc_b {id_t}",
+        )
+        ids = sorted({r["doc_a"] for r in probe} | {r["doc_b"] for r in probe})
+        ids_df = spark.createDataFrame([(i,) for i in ids], f"doc_id {id_t}")
+        src = d.join(F.broadcast(ids_df), "doc_id")
+        verify_side = src.mapInArrow(
+            _shingle_batches, f"doc_id {id_t}, shingles array<string>"
+        ).filter(
+            "size(shingles) > 0 AND (size(shingles) > 1"
+            " OR element_at(shingles, 1) <> '')"
+        )
+    else:
+        pairs_use, verify_side = pairs, shingled
+    sa = verify_side.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sa")
+    )
+    sb = verify_side.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sb")
+    )
+    with_a = sa.join(F.broadcast(pairs_use), "doc_a")
+    with_b = sb.join(F.broadcast(pairs_use), "doc_b").select("doc_a", "doc_b", "sb")
     return (
         with_a.join(F.broadcast(with_b), ["doc_a", "doc_b"])
         .withColumn("common", F.size(F.array_intersect("sa", "sb")))
